@@ -1,0 +1,153 @@
+"""Configuration dataclasses mirroring the reference's layered param system.
+
+The reference loads env/planner YAML configs through the ROS parameter server
+(`sbpl_perception/config/*.yaml`, read in object_recognizer.cpp:55-153 and
+search_env.h:106-190 `PERCHParams`). Here the same knobs are plain frozen
+dataclasses, loadable from the same YAML shape, with the ROS plumbing gone.
+
+Shape-affecting fields (width/height/stride/caps) are static under jit; a
+config change retraces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraIntrinsics:
+    """Pinhole intrinsics of the observed RGB-D camera."""
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    width: int
+    height: int
+
+    def matrix(self) -> np.ndarray:
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+    def projection(self, near: float = 10.0, far: float = 10000.0) -> np.ndarray:
+        """OpenGL-style projection from intrinsics.
+
+        Mirrors `cuda_renderer::compute_proj` (cuda_renderer/src/renderer.cpp:
+        199-223) including its sign flips; near/far are in render units (cm).
+        """
+        w, h = float(self.width), float(self.height)
+        p = np.zeros((4, 4), dtype=np.float32)
+        p[0, 0] = 2 * self.fx / w
+        p[0, 1] = 2 * 0.0 / w
+        p[0, 2] = 2 * self.cx / w - 1.0
+        p[1, 1] = -2 * self.fy / h
+        p[1, 2] = 1.0 - 2 * self.cy / h
+        p[2, 2] = (far + near) / (far - near)
+        p[2, 3] = -2 * far * near / (far - near)
+        p[3, 2] = 1.0
+        return p
+
+
+@dataclasses.dataclass(frozen=True)
+class PerchConfig:
+    """Search/scoring parameters (reference `PERCHParams`, search_env.h:106-190).
+
+    Field names follow the reference YAML keys (pr3_env_config.yaml etc.) so
+    reference config files load directly.
+    """
+
+    sensor_resolution: float = 0.01           # m; NN match radius for cost
+    min_neighbor_points_for_valid_pose: int = 30
+    min_points_for_constraint_cloud: int = 50
+    max_icp_iterations: int = 150
+    icp_max_correspondence: float = 0.05      # m
+    use_model_specific_search_resolution: bool = False
+    icp_type: int = 3                         # 3 = integrated on-device GICP
+    use_color_cost: bool = False
+    color_distance_threshold: float = 15.0    # CIEDE2000 units
+    use_downsampling: bool = False
+    downsampling_leaf_size: float = 0.01
+    use_clutter_mode: bool = False
+    clutter_regularizer: float = 0.1
+    use_gpu: bool = True                      # kept for config parity; always on-device here
+    gpu_batch_size: int = 700                 # poses per device dispatch
+    gpu_stride: int = 8                       # pixel stride for cloud sampling
+    gpu_occlusion_threshold: float = 1.0      # cm
+    use_cylinder_observed: bool = False
+    footprint_tolerance: float = 0.05         # m
+    depth_median_blur: int = 5
+    vis_expanded_states: bool = False
+    vis_successors: bool = False
+    print_expanded_states: bool = False
+    debug_verbose: bool = False
+    use_rcnn_heuristic: bool = False
+    use_adaptive_resolution: bool = False
+
+    @classmethod
+    def from_yaml_dict(cls, d: Mapping[str, Any]) -> "PerchConfig":
+        """Build from a reference-style `perch_params:` YAML mapping."""
+        if "perch_params" in d:
+            d = d["perch_params"]
+        aliases = {
+            "sensor_resolution_radius": "sensor_resolution",
+            "visualize_expanded_states": "vis_expanded_states",
+            "visualize_successors": "vis_successors",
+        }
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for key, value in d.items():
+            key = aliases.get(key, key)
+            if key in fields:
+                kwargs[key] = value
+        return cls(**kwargs)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Scene/search-space parameters (reference `EnvParams`, search_env.h)."""
+
+    width: int = 640
+    height: int = 480
+    # 3-DoF search grid.
+    x_min: float = -1.0
+    x_max: float = 1.0
+    y_min: float = -1.0
+    y_max: float = 1.0
+    table_height: float = 0.0
+    res: float = 0.04                         # translation grid resolution (m)
+    theta_res: float = 0.3926991              # yaw grid resolution (rad)
+    # 6-DoF external-pose mode (poses read from per-object poses.txt).
+    use_external_pose_list: int = 0
+    shift_pose_centroid: int = 0
+    # Depth-unit conversions: rendered depth is int cm (factor 100); input
+    # sensor PNGs vary (YCB-Video: 10000) (search_env.cpp:2487-2497).
+    gpu_depth_factor: float = 100.0
+    input_depth_factor: float = 100.0
+    # Static-shape capacities (TPU-specific; no reference analogue — the
+    # reference compacts dynamically with thrust scans).
+    max_triangles_per_model: int = 1024       # after decimation/padding
+    max_points_per_pose: int = 1024           # rendered-cloud cap per pose
+    max_observed_points: int = 8192           # total observed-cloud cap
+    max_points_per_label: int = 4096          # per-segment observed cap
+    max_labels: int = 32                      # max object instances per scene
+    icp_downsample: int = 4                   # extra stride applied to rendered
+                                              # cloud inside GICP refinement
+
+    @classmethod
+    def from_yaml_dict(cls, d: Mapping[str, Any]) -> "EnvConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in fields}
+        return cls(**kwargs)
+
+
+def load_yaml_config(path: str) -> tuple[PerchConfig, EnvConfig]:
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return PerchConfig.from_yaml_dict(raw), EnvConfig.from_yaml_dict(raw)

@@ -1,0 +1,504 @@
+"""Mesh loading, preprocessing, and the padded triangle-soup model bank.
+
+TPU-native replacement for the reference's assimp-based `cuda_renderer::Model`
+(cuda_renderer/include/cuda_renderer/model.h:22-205, src/model.cpp) and
+`ObjectModel` preprocessing (sbpl_perception/src/object_model.cpp:49-135,
+326-470):
+
+  * a self-contained PLY (ascii / binary-little-endian) and OBJ reader —
+    no assimp;
+  * `preprocess_model`: centroid / min-z shift to the origin, optional
+    mm->m scaling and z-flip, returned as the 4x4 `preprocessing_transform`
+    the output contract needs (output_poses.txt records it);
+  * vertex-clustering decimation so every model fits a static per-model
+    triangle budget — rendering happens at strided resolution (80x60 for the
+    flagship config) where sub-millimetre triangles are invisible, so a
+    deterministic cluster-collapse loses nothing while XLA gets one padded
+    [num_models, T_cap] triangle tensor;
+  * bbox-derived inscribed/circumscribed radii and the convex-hull footprint
+    used by 3-DoF validity checks (object_model.cpp:376-460).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+# Additive inflation applied to radii when validating poses
+# (object_model.cpp:43 kMeshAdditiveInflation).
+MESH_ADDITIVE_INFLATION = 0.01
+
+
+# --------------------------------------------------------------------------
+# File readers
+# --------------------------------------------------------------------------
+
+_PLY_DTYPES = {
+    "char": "i1", "int8": "i1",
+    "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2",
+    "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4",
+    "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4",
+    "double": "f8", "float64": "f8",
+}
+
+
+def read_ply(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Read a PLY mesh -> (vertices [V,3] f64, faces [F,3] i64, colors [V,3] u8|None).
+
+    Supports ascii and binary_little_endian, vertex colors, and polygonal
+    faces (fan-triangulated). Covers the YCB `textured.ply` family the
+    reference consumes via assimp (model.cpp LoadModel).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+
+    header_end = data.find(b"end_header")
+    if header_end < 0:
+        raise ValueError(f"{path}: not a PLY file (no end_header)")
+    header_end = data.index(b"\n", header_end) + 1
+    header = data[:header_end].decode("ascii", errors="replace").splitlines()
+    body = data[header_end:]
+
+    fmt = None
+    elements = []  # list of (name, count, [(prop_name, dtype)|('list', cdt, idt, name)])
+    cur = None
+    for line in header:
+        parts = line.strip().split()
+        if not parts:
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element":
+            cur = (parts[1], int(parts[2]), [])
+            elements.append(cur)
+        elif parts[0] == "property" and cur is not None:
+            if parts[1] == "list":
+                cur[2].append(("list", _PLY_DTYPES[parts[2]], _PLY_DTYPES[parts[3]], parts[4]))
+            else:
+                cur[2].append((parts[2], _PLY_DTYPES[parts[1]]))
+
+    if fmt not in ("ascii", "binary_little_endian"):
+        raise ValueError(f"{path}: unsupported PLY format {fmt}")
+
+    verts = None
+    colors = None
+    faces: list[list[int]] = []
+
+    offset = 0
+    text_lines = None
+    if fmt == "ascii":
+        text_lines = body.decode("ascii", errors="replace").split("\n")
+        line_idx = 0
+
+    for name, count, props in elements:
+        has_list = any(p[0] == "list" for p in props)
+        if fmt == "binary_little_endian" and not has_list:
+            dtype = np.dtype([(p[0], "<" + p[1]) for p in props])
+            arr = np.frombuffer(body, dtype=dtype, count=count, offset=offset)
+            offset += dtype.itemsize * count
+            if name == "vertex":
+                verts = np.stack(
+                    [arr["x"], arr["y"], arr["z"]], axis=1).astype(np.float64)
+                if "red" in dtype.names:
+                    colors = np.stack(
+                        [arr["red"], arr["green"], arr["blue"]], axis=1
+                    ).astype(np.uint8)
+        elif fmt == "binary_little_endian":
+            # Element with list property, read row by row (faces).
+            rows = []
+            for _ in range(count):
+                row_vals = []
+                for p in props:
+                    if p[0] == "list":
+                        cdt = np.dtype("<" + p[1])
+                        n = int(np.frombuffer(body, cdt, 1, offset)[0])
+                        offset += cdt.itemsize
+                        idt = np.dtype("<" + p[2])
+                        vals = np.frombuffer(body, idt, n, offset)
+                        offset += idt.itemsize * n
+                        row_vals.append(vals)
+                    else:
+                        dt = np.dtype("<" + p[1])
+                        row_vals.append(np.frombuffer(body, dt, 1, offset)[0])
+                        offset += dt.itemsize
+                rows.append(row_vals)
+            if name == "face":
+                for row in rows:
+                    idx = [v for v in row if isinstance(v, np.ndarray)][0]
+                    faces.extend(_fan_triangulate(idx))
+        else:  # ascii
+            prop_names = [p[0] if p[0] != "list" else p[3] for p in props]
+            vrows = []
+            for _ in range(count):
+                while text_lines[line_idx].strip() == "":
+                    line_idx += 1
+                vals = text_lines[line_idx].split()
+                line_idx += 1
+                if has_list:
+                    n = int(vals[0])
+                    faces.extend(_fan_triangulate([int(v) for v in vals[1:1 + n]]))
+                else:
+                    vrows.append([float(v) for v in vals])
+            if name == "vertex":
+                arr = np.asarray(vrows, dtype=np.float64)
+                verts = arr[:, :3]
+                ci = [i for i, pn in enumerate(prop_names) if pn in ("red", "green", "blue")]
+                if len(ci) == 3:
+                    colors = arr[:, ci].astype(np.uint8)
+
+    if verts is None:
+        raise ValueError(f"{path}: PLY has no vertex element")
+    faces_arr = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+    return verts, faces_arr, colors
+
+
+def _fan_triangulate(idx) -> list[list[int]]:
+    idx = list(idx)
+    return [[idx[0], idx[i], idx[i + 1]] for i in range(1, len(idx) - 1)]
+
+
+def read_obj(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Minimal OBJ reader (v / f records, fan triangulation)."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(tok.split("/")[0]) - 1 for tok in parts[1:]]
+                faces.extend(_fan_triangulate(idx))
+    return (np.asarray(verts, dtype=np.float64),
+            np.asarray(faces, dtype=np.int64).reshape(-1, 3), None)
+
+
+def read_mesh(path: str):
+    if path.endswith(".ply"):
+        return read_ply(path)
+    if path.endswith(".obj"):
+        return read_obj(path)
+    raise ValueError(f"unsupported mesh format: {path}")
+
+
+# --------------------------------------------------------------------------
+# Preprocessing (reference PreprocessModel, object_model.cpp:49-129)
+# --------------------------------------------------------------------------
+
+def preprocess_model(
+    verts: np.ndarray,
+    mesh_in_mm: bool = False,
+    scaling_factor: float = 0.001,
+    flipped: bool = False,
+    use_external_pose_list: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shift/scale/flip model vertices; return (new_verts, preprocessing_transform).
+
+    6-DoF mode centres the full centroid; 3-DoF mode drops the model so its
+    minimum z sits at 0 (table contact). The returned 4x4 satisfies
+    `new = T @ old` and is recorded in output_poses.txt, matching the
+    reference's `preprocessing_transform_`.
+    """
+    verts = np.asarray(verts, dtype=np.float64)
+    centroid = verts.mean(axis=0)
+
+    flip = np.eye(4)
+    if flipped:
+        flip[2, 2] = -1.0
+        verts = verts @ flip[:3, :3].T
+    vmin = verts.min(axis=0)
+
+    x_t, y_t = centroid[0], centroid[1]
+    z_t = centroid[2] if use_external_pose_list else vmin[2]
+    # Note: the reference flips first, but computes the x/y centroid from the
+    # pre-flip cloud (they are equal: the flip only negates z) and min-z from
+    # the post-flip cloud, as here.
+    scale = scaling_factor if mesh_in_mm else 1.0
+    x_t, y_t, z_t = x_t * scale, y_t * scale, z_t * scale
+
+    transform = np.eye(4)
+    transform[:3, :3] *= scale
+    transform[:3, 3] = [-x_t, -y_t, -z_t]
+
+    new_verts = verts * scale + transform[:3, 3]
+    return new_verts, transform @ flip
+
+
+# --------------------------------------------------------------------------
+# Decimation
+# --------------------------------------------------------------------------
+
+def decimate_vertex_clustering(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: np.ndarray | None,
+    target_triangles: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Deterministic vertex-clustering decimation to <= target_triangles.
+
+    Snaps vertices to a uniform grid (binary-search on cell size), merges
+    clusters at their mean, and drops degenerate/duplicate faces. Good enough
+    fidelity for strided depth rendering; avoids any dependence on external
+    mesh libraries.
+    """
+    if len(faces) <= target_triangles:
+        return verts, faces, colors
+
+    extent = float((verts.max(axis=0) - verts.min(axis=0)).max())
+    lo_cells, hi_cells = 2, 512  # grid resolution along the longest axis
+
+    def cluster(num_cells: int):
+        cell = extent / num_cells
+        keys = np.floor((verts - verts.min(axis=0)) / cell).astype(np.int64)
+        # Unique cluster id per occupied cell.
+        _, inverse = np.unique(keys, axis=0, return_inverse=True)
+        n_clusters = inverse.max() + 1
+        # Cluster means.
+        sums = np.zeros((n_clusters, 3))
+        counts = np.zeros(n_clusters)
+        np.add.at(sums, inverse, verts)
+        np.add.at(counts, inverse, 1)
+        new_verts = sums / counts[:, None]
+        new_colors = None
+        if colors is not None:
+            csums = np.zeros((n_clusters, 3))
+            np.add.at(csums, inverse, colors.astype(np.float64))
+            new_colors = (csums / counts[:, None]).astype(np.uint8)
+        new_faces = inverse[faces]
+        # Drop degenerate faces (two verts collapsed together).
+        keep = (
+            (new_faces[:, 0] != new_faces[:, 1])
+            & (new_faces[:, 1] != new_faces[:, 2])
+            & (new_faces[:, 0] != new_faces[:, 2])
+        )
+        new_faces = new_faces[keep]
+        # Drop duplicate faces (ignoring winding would risk flipping normals;
+        # keep orientation-sensitive uniqueness).
+        new_faces = np.unique(new_faces, axis=0)
+        return new_verts, new_faces, new_colors
+
+    best = None
+    while lo_cells <= hi_cells:
+        mid = (lo_cells + hi_cells) // 2
+        nv, nf, nc = cluster(mid)
+        if len(nf) <= target_triangles:
+            best = (nv, nf, nc)
+            lo_cells = mid + 1
+        else:
+            hi_cells = mid - 1
+    if best is None:
+        best = cluster(2)
+        if len(best[1]) > target_triangles:
+            best = (best[0], best[1][:target_triangles], best[2])
+    return best
+
+
+# --------------------------------------------------------------------------
+# Footprint / radii helpers
+# --------------------------------------------------------------------------
+
+def convex_hull_2d(points: np.ndarray) -> np.ndarray:
+    """Monotone-chain convex hull of 2D points, CCW, no repeated endpoint."""
+    pts = np.unique(points[:, :2], axis=0)
+    if len(pts) <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(iterable):
+        hull: list[np.ndarray] = []
+        for p in iterable:
+            while len(hull) >= 2 and np.cross(hull[-1] - hull[-2], p - hull[-2]) <= 0:
+                hull.pop()
+            hull.append(p)
+        return hull
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def points_in_convex_poly(points: np.ndarray, hull: np.ndarray) -> np.ndarray:
+    """Vectorised point-in-convex-polygon (CCW hull)."""
+    if len(hull) < 3:
+        return np.zeros(len(points), dtype=bool)
+    a = hull
+    b = np.roll(hull, -1, axis=0)
+    # cross((b-a), (p-a)) >= 0 for all edges.
+    edge = b - a  # [E,2]
+    rel = points[:, None, :2] - a[None, :, :]  # [P,E,2]
+    cross = edge[None, :, 0] * rel[:, :, 1] - edge[None, :, 1] * rel[:, :, 0]
+    return (cross >= -1e-12).all(axis=1)
+
+
+# --------------------------------------------------------------------------
+# MeshModel / ModelBank
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MeshModel:
+    """One preprocessed object model as a flat triangle soup (metres).
+
+    Replaces reference `ObjectModel` + `cuda_renderer::Model` (triangle
+    vectors, bbox, radii, convex footprint).
+    """
+
+    name: str
+    tri_verts: np.ndarray          # [T, 3, 3] float32, model frame
+    tri_colors: np.ndarray         # [T, 3] uint8 (per-face color)
+    preprocessing_transform: np.ndarray  # [4, 4]
+    symmetric: bool = False
+    symmetry_mode: int = 0         # 0 none, 1 semi (pi), 2 full yaw symmetry
+    full_tri_verts: np.ndarray | None = None  # pre-decimation (for metrics)
+    search_resolution: float = 0.0
+    num_original_triangles: int = 0
+
+    @property
+    def num_triangles(self) -> int:
+        return len(self.tri_verts)
+
+    @property
+    def bounds(self) -> tuple[np.ndarray, np.ndarray]:
+        v = self.tri_verts.reshape(-1, 3)
+        return v.min(axis=0), v.max(axis=0)
+
+    # Radii follow object_model.cpp:460-470 (bbox-derived).
+    @property
+    def inscribed_radius(self) -> float:
+        vmin, vmax = self.bounds
+        return float(min(vmax[0] - vmin[0], vmax[1] - vmin[1]) / 2.0)
+
+    @property
+    def circumscribed_radius(self) -> float:
+        vmin, vmax = self.bounds
+        return float(max(vmax[0] - vmin[0], vmax[1] - vmin[1]) / 2.0)
+
+    @property
+    def circumscribed_radius_3d(self) -> float:
+        vmin, vmax = self.bounds
+        return float(max(vmax - vmin) / 2.0)
+
+    @property
+    def inflation_factor(self) -> float:
+        r = self.inscribed_radius
+        if r < 1e-5:
+            return 1.0
+        return 1.0 + MESH_ADDITIVE_INFLATION / r
+
+    def footprint_hull(self) -> np.ndarray:
+        return convex_hull_2d(self.tri_verts.reshape(-1, 3)[:, :2])
+
+    def sample_surface_points(self, max_points: int = 4096) -> np.ndarray:
+        """Vertices of the (undecimated) mesh, subsampled — for ADD/ADD-S."""
+        src = self.full_tri_verts if self.full_tri_verts is not None else self.tri_verts
+        pts = np.unique(src.reshape(-1, 3), axis=0)
+        if len(pts) > max_points:
+            step = int(np.ceil(len(pts) / max_points))
+            pts = pts[::step]
+        return pts.astype(np.float32)
+
+
+def load_model(
+    path: str,
+    name: str | None = None,
+    mesh_in_mm: bool = False,
+    scaling_factor: float = 0.001,
+    flipped: bool = False,
+    use_external_pose_list: bool = False,
+    target_triangles: int = 1024,
+    symmetric: bool = False,
+    symmetry_mode: int = 0,
+) -> MeshModel:
+    verts, faces, colors = read_mesh(path)
+    verts, pre_transform = preprocess_model(
+        verts, mesh_in_mm, scaling_factor, flipped, use_external_pose_list)
+    num_original = len(faces)
+    full_tris = verts[faces].astype(np.float32)
+    dverts, dfaces, dcolors = decimate_vertex_clustering(
+        verts, faces, colors, target_triangles)
+    tri_verts = dverts[dfaces].astype(np.float32)
+    if dcolors is not None:
+        tri_colors = dcolors[dfaces].astype(np.float32).mean(axis=1).astype(np.uint8)
+    else:
+        tri_colors = np.full((len(dfaces), 3), 128, dtype=np.uint8)
+    return MeshModel(
+        name=name or path,
+        tri_verts=tri_verts,
+        tri_colors=tri_colors,
+        preprocessing_transform=pre_transform,
+        symmetric=symmetric,
+        symmetry_mode=symmetry_mode,
+        full_tri_verts=full_tris,
+        num_original_triangles=num_original,
+    )
+
+
+def mesh_model_from_arrays(
+    name: str,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: np.ndarray | None = None,
+    **preprocess_kwargs,
+) -> MeshModel:
+    """Build a MeshModel from in-memory arrays (tests / synthetic scenes)."""
+    verts, pre_transform = preprocess_model(np.asarray(verts, np.float64),
+                                            **preprocess_kwargs)
+    faces = np.asarray(faces, np.int64)
+    tri_verts = verts[faces].astype(np.float32)
+    if colors is not None:
+        tri_colors = np.asarray(colors, np.float64)[faces].mean(axis=1).astype(np.uint8)
+    else:
+        tri_colors = np.full((len(faces), 3), 128, dtype=np.uint8)
+    return MeshModel(name=name, tri_verts=tri_verts, tri_colors=tri_colors,
+                     preprocessing_transform=pre_transform,
+                     full_tri_verts=tri_verts)
+
+
+@dataclasses.dataclass
+class ModelBank:
+    """All scene models stacked into padded arrays for one-tensor dispatch.
+
+    Replaces the reference's concatenated triangle vector + per-model count
+    ranges (search_env.cpp LoadObjFiles -> tris / tris_model_count; the
+    rasteriser selects a model's range via exclusive/inclusive scans,
+    image_renderer.cuh:371-380). Padding with degenerate triangles keeps
+    shapes static; degenerate triangles never cover a sample point.
+    """
+
+    models: list[MeshModel]
+    tri_verts: np.ndarray   # [M, T_cap, 3, 3] float32
+    tri_colors: np.ndarray  # [M, T_cap, 3] float32 (0..255)
+    tri_valid: np.ndarray   # [M, T_cap] bool
+
+    @classmethod
+    def from_models(cls, models: list[MeshModel], t_cap: int | None = None) -> "ModelBank":
+        if t_cap is None:
+            t_cap = max(m.num_triangles for m in models)
+        m_count = len(models)
+        tri_verts = np.zeros((m_count, t_cap, 3, 3), dtype=np.float32)
+        tri_colors = np.zeros((m_count, t_cap, 3), dtype=np.float32)
+        tri_valid = np.zeros((m_count, t_cap), dtype=bool)
+        for i, m in enumerate(models):
+            t = min(m.num_triangles, t_cap)
+            if m.num_triangles > t_cap:
+                raise ValueError(
+                    f"model {m.name} has {m.num_triangles} triangles > cap {t_cap}; "
+                    "raise t_cap or lower target_triangles at load time")
+            tri_verts[i, :t] = m.tri_verts[:t]
+            tri_colors[i, :t] = m.tri_colors[:t]
+            tri_valid[i, :t] = True
+        return cls(models=models, tri_verts=tri_verts, tri_colors=tri_colors,
+                   tri_valid=tri_valid)
+
+    @property
+    def names(self) -> list[str]:
+        return [m.name for m in self.models]
+
+    def index_of(self, name: str) -> int:
+        return self.names.index(name)

@@ -1,0 +1,101 @@
+"""Occlusion-aware explained/unexplained pose scoring.
+
+Deterministic re-design of the reference cost kernels
+(cuda_renderer/include/cuda_renderer/cuda/compute_costs.cuh:161-457):
+
+  * `compute_render_cost`: every valid rendered point whose 1-NN distance
+    exceeds the (squared) sensor resolution — or whose colour mismatches in
+    RGB mode — adds 1 to the pose's rendered cost; matching points mark their
+    observed neighbour "explained".
+  * `compute_observed_cost`: per-pose count of explained observed points.
+  * Normalisation to percentages with the reference's -1 sentinel for poses
+    with zero rendered points (cost_percentage_functor, cuh:21-55).
+
+The CUDA atomicAdd accumulations become masked segment sums; the per-pose
+observed-explained matrix becomes a batched scatter-max.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from perception_tpu.ops.color import ciede2000, rgb_to_lab
+
+COST_TYPE_3DOF_DEPTH = 0
+COST_TYPE_3DOF_RGBD = 1
+COST_TYPE_6DOF = 2
+
+
+class CostOutput(NamedTuple):
+    rendered_cost: jax.Array     # [N] float32, % unexplained rendered (-1 invalid)
+    observed_cost: jax.Array     # [N] float32, % unexplained observed
+    points_diff_cost: jax.Array  # [N] float32, rendered_explained - observed_explained
+    pose_point_num: jax.Array    # [N] float32 rendered points per pose
+    observed_explained: jax.Array  # [N] float32
+
+
+@functools.partial(jax.jit, static_argnames=("cost_type",))
+def compute_costs(
+    knn_dist_sq: jax.Array,      # [N, P] squared distance to observed NN
+    knn_idx: jax.Array,          # [N, P] index into the pose's observed segment
+    cloud_valid: jax.Array,      # [N, P] rendered-point validity
+    pose_occluded: jax.Array,    # [N] int32
+    rendered_rgb: jax.Array,     # [N, P, 3]
+    observed_rgb: jax.Array,     # [N, S, 3] per-pose observed segment colours
+    observed_total: jax.Array,   # [N] float32 total observed points for pose
+    *,
+    sensor_resolution: float,    # metres (unsquared; squared here as renderer.cu:1877)
+    color_distance_threshold: float = 15.0,
+    cost_type: int = COST_TYPE_6DOF,
+) -> CostOutput:
+    n, p = knn_dist_sq.shape
+    s = observed_rgb.shape[1]
+    thresh_sq = sensor_resolution * sensor_resolution
+
+    occluded = pose_occluded.astype(bool)
+    active = cloud_valid & ~occluded[:, None]
+    far = knn_dist_sq > thresh_sq
+
+    if cost_type == COST_TYPE_3DOF_RGBD:
+        nn_rgb = jnp.take_along_axis(observed_rgb, knn_idx[..., None], axis=1)
+        cdist = ciede2000(rgb_to_lab(nn_rgb), rgb_to_lab(rendered_rgb))
+        color_bad = cdist > color_distance_threshold
+        unexplained = active & (far | (~far & color_bad))
+        explains = active & ~far & ~color_bad
+    else:
+        unexplained = active & far
+        explains = active & ~far
+
+    raw_rendered = unexplained.sum(axis=1).astype(jnp.float32)
+    pose_point_num = active.sum(axis=1).astype(jnp.float32)
+
+    # Observed-explained matrix [N, S] via batched scatter-max
+    # (replaces cuda_observed_explained writes, cuh:238-268).
+    def scatter_one(idx, mark):
+        return jnp.zeros((s,), jnp.float32).at[idx].max(mark.astype(jnp.float32))
+
+    explained_mat = jax.vmap(scatter_one)(knn_idx, explains)
+    observed_explained = explained_mat.sum(axis=1)
+
+    rendered_explained = pose_point_num - raw_rendered
+
+    # Percentage normalisation with -1 sentinels.
+    rendered_cost = jnp.where(
+        pose_point_num == 0, -1.0, raw_rendered / jnp.maximum(pose_point_num, 1.0) * 100.0)
+    rendered_cost = jnp.where(occluded, -1.0, rendered_cost)
+
+    observed_cost = (observed_total - observed_explained) / jnp.maximum(
+        observed_total, 1e-9) * 100.0
+    points_diff = rendered_explained - observed_explained
+
+    return CostOutput(
+        rendered_cost=rendered_cost,
+        observed_cost=observed_cost,
+        points_diff_cost=points_diff,
+        pose_point_num=pose_point_num,
+        observed_explained=observed_explained,
+    )

@@ -1,0 +1,198 @@
+"""Unit tests for core geometry/mesh (mirrors reference states_test.cpp scope)."""
+
+import numpy as np
+import pytest
+
+from perception_tpu.core import mesh as mesh_lib
+from perception_tpu.core.config import CameraIntrinsics
+from perception_tpu.core.pose import (
+    CAM_TO_BODY,
+    ContPose,
+    euler_xyz_to_matrix,
+    matrix_to_quat,
+    quat_to_matrix,
+    world_to_optical_cam,
+)
+
+
+def test_quat_matrix_roundtrip(rng):
+    for _ in range(20):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        rot = quat_to_matrix(*q)
+        assert np.allclose(rot @ rot.T, np.eye(3), atol=1e-9)
+        q2 = np.array(matrix_to_quat(rot))
+        # Same rotation up to sign.
+        assert np.allclose(quat_to_matrix(*q2), rot, atol=1e-9)
+
+
+def test_euler_convention_matches_eigen():
+    # yaw about z by 90deg maps x->y.
+    rot = euler_xyz_to_matrix(0, 0, np.pi / 2)
+    assert np.allclose(rot @ [1, 0, 0], [0, 1, 0], atol=1e-12)
+    # Composition order: R = Rz @ Ry @ Rx.
+    r = euler_xyz_to_matrix(0.3, -0.2, 0.7)
+    expected = (euler_xyz_to_matrix(0, 0, 0.7)
+                @ euler_xyz_to_matrix(0, -0.2, 0)
+                @ euler_xyz_to_matrix(0.3, 0, 0))
+    assert np.allclose(r, expected, atol=1e-12)
+
+
+def test_cont_pose_euler_vs_quat():
+    p_euler = ContPose.from_euler(0.1, 0.2, 0.3, 0.0, 0.0, np.pi / 3)
+    q = matrix_to_quat(p_euler.rotation())
+    p_quat = ContPose.from_quat(0.1, 0.2, 0.3, *q)
+    assert np.allclose(p_euler.transform(), p_quat.transform(), atol=1e-9)
+    assert p_euler.uses_euler and not p_quat.uses_euler
+
+
+def test_cam_to_body_frame():
+    # Optical frame: +z forward = body +x; +x right = body -y.
+    assert np.allclose(CAM_TO_BODY[:3, :3] @ [0, 0, 1], [1, 0, 0])
+    cam_to_world = np.eye(4)
+    w2c = world_to_optical_cam(cam_to_world)
+    pt_world = np.array([2.0, 0.0, 0.0, 1.0])  # 2m in front of camera body-x
+    pt_cam = w2c @ pt_world
+    assert np.allclose(pt_cam[:3], [0, 0, 2])
+
+
+def test_projection_matches_pinhole():
+    cam = CameraIntrinsics(fx=500.0, fy=480.0, cx=320.0, cy=240.0,
+                           width=640, height=480)
+    proj = cam.projection()
+    # A camera-frame point projected through the reference's matrix+viewport
+    # pipeline must land at the pinhole location (with their y-flip dance).
+    pt = np.array([0.1, -0.05, 1.5])
+    z = pt[2]
+    clip = proj[:3, :3] @ pt + proj[:3, 3]
+    sx = clip[0] / z * cam.width / 2 + cam.width / 2
+    sy = clip[1] / z * cam.height / 2 + cam.height / 2
+    x_img = sx
+    y_img = cam.height - 1 - sy
+    assert np.isclose(x_img, cam.fx * pt[0] / z + cam.cx, atol=1e-4)
+    assert np.isclose(y_img, cam.fy * pt[1] / z + cam.cy - 1.0, atol=1e-4)
+
+
+def make_box(w=0.06, d=0.08, h=0.1):
+    """Axis-aligned box mesh centred in x/y, base at z=0."""
+    x, y = w / 2, d / 2
+    verts = np.array([
+        [-x, -y, 0], [x, -y, 0], [x, y, 0], [-x, y, 0],
+        [-x, -y, h], [x, -y, h], [x, y, h], [-x, y, h],
+    ])
+    faces = np.array([
+        [0, 2, 1], [0, 3, 2],      # bottom
+        [4, 5, 6], [4, 6, 7],      # top
+        [0, 1, 5], [0, 5, 4],      # front
+        [2, 3, 7], [2, 7, 6],      # back
+        [1, 2, 6], [1, 6, 5],      # right
+        [3, 0, 4], [3, 4, 7],      # left
+    ])
+    return verts, faces
+
+
+def test_preprocess_model_3dof():
+    verts, _ = make_box()
+    shifted = verts + [0.5, -0.2, 0.3]
+    new_verts, transform = mesh_lib.preprocess_model(shifted)
+    # x/y centroid at origin, min z at 0.
+    assert np.allclose(new_verts[:, :2].mean(axis=0), 0, atol=1e-12)
+    assert np.isclose(new_verts[:, 2].min(), 0, atol=1e-12)
+    # Transform reproduces the mapping.
+    hom = np.concatenate([shifted, np.ones((len(shifted), 1))], axis=1)
+    assert np.allclose((transform @ hom.T).T[:, :3], new_verts, atol=1e-12)
+
+
+def test_preprocess_model_6dof_mm():
+    verts, _ = make_box()
+    mm_verts = verts * 1000.0 + [100.0, 0, 0]
+    new_verts, transform = mesh_lib.preprocess_model(
+        mm_verts, mesh_in_mm=True, scaling_factor=0.001,
+        use_external_pose_list=True)
+    assert np.allclose(new_verts.mean(axis=0), 0, atol=1e-9)
+    # Scale recovered: box height 0.1m.
+    assert np.isclose(np.ptp(new_verts[:, 2]), 0.1, atol=1e-9)
+    hom = np.concatenate([mm_verts, np.ones((len(mm_verts), 1))], axis=1)
+    assert np.allclose((transform @ hom.T).T[:, :3], new_verts, atol=1e-9)
+
+
+def test_preprocess_model_flip_matches_reference():
+    # The reference computes the 6-DoF z-shift from the PRE-flip centroid
+    # (object_model.cpp:62-82: compute3DCentroid runs before the flip) —
+    # preserved verbatim for output-contract parity.
+    verts, _ = make_box()
+    new_verts, transform = mesh_lib.preprocess_model(
+        verts, flipped=True, use_external_pose_list=True)
+    assert np.isclose(new_verts[:, 2].mean(), -0.1, atol=1e-12)
+    hom = np.concatenate([verts, np.ones((len(verts), 1))], axis=1)
+    assert np.allclose((transform @ hom.T).T[:, :3], new_verts, atol=1e-12)
+
+
+def test_mesh_model_radii():
+    verts, faces = make_box(w=0.06, d=0.08, h=0.1)
+    model = mesh_lib.mesh_model_from_arrays("box", verts, faces)
+    assert np.isclose(model.inscribed_radius, 0.03)
+    assert np.isclose(model.circumscribed_radius, 0.04)
+    assert np.isclose(model.circumscribed_radius_3d, 0.05)
+    assert model.inflation_factor > 1.0
+
+
+def test_decimation_reduces_and_preserves_bbox(rng):
+    # Dense random sphere-ish mesh.
+    n = 2000
+    pts = rng.normal(size=(n, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    # Triangulate arbitrarily into many faces.
+    faces = rng.integers(0, n, size=(6000, 3))
+    faces = faces[(faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+                  & (faces[:, 0] != faces[:, 2])]
+    dv, df, _ = mesh_lib.decimate_vertex_clustering(pts, faces, None, 1024)
+    assert len(df) <= 1024
+    assert np.allclose(np.abs(dv).max(), 1.0, atol=0.2)
+
+
+def test_ply_roundtrip(tmp_path):
+    verts, faces = make_box()
+    colors = np.tile([200, 100, 50], (len(verts), 1)).astype(np.uint8)
+    # Write a binary_little_endian PLY by hand.
+    path = tmp_path / "box.ply"
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {len(verts)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        f"element face {len(faces)}\n"
+        "property list uchar int vertex_indices\nend_header\n"
+    ).encode()
+    body = b""
+    for v, c in zip(verts, colors):
+        body += np.asarray(v, "<f4").tobytes() + np.asarray(c, "u1").tobytes()
+    for f in faces:
+        body += np.uint8(3).tobytes() + np.asarray(f, "<i4").tobytes()
+    path.write_bytes(header + body)
+
+    rv, rf, rc = mesh_lib.read_ply(str(path))
+    assert np.allclose(rv, verts, atol=1e-6)
+    assert np.array_equal(rf, faces)
+    assert np.array_equal(rc, colors)
+
+
+def test_convex_hull_and_point_in_poly():
+    square = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5]])
+    hull = mesh_lib.convex_hull_2d(square)
+    assert len(hull) == 4
+    inside = mesh_lib.points_in_convex_poly(
+        np.array([[0.5, 0.5], [1.5, 0.5]]), hull)
+    assert inside.tolist() == [True, False]
+
+
+def test_model_bank_padding():
+    v1, f1 = make_box()
+    v2, f2 = make_box(0.1, 0.1, 0.2)
+    m1 = mesh_lib.mesh_model_from_arrays("a", v1, f1)
+    m2 = mesh_lib.mesh_model_from_arrays("b", v2, f2[:6])
+    bank = mesh_lib.ModelBank.from_models([m1, m2], t_cap=16)
+    assert bank.tri_verts.shape == (2, 16, 3, 3)
+    assert bank.tri_valid[0].sum() == 12
+    assert bank.tri_valid[1].sum() == 6
+    assert bank.index_of("b") == 1
