@@ -1,0 +1,180 @@
+"""Batched pose refinement: vmapped Gauss-Newton point-to-plane ICP.
+
+TPU-native replacement for the reference's per-candidate GPU registration:
+the external fast_gicp fork's `FastGICPCudaCore::optimize_multi` (one
+registration problem per candidate pose, solved jointly — called at
+cuda_renderer/src/cuda/renderer.cu:1688-1739 with max_iter=150,
+k_correspondences=10, rotation_eps=2e-3, transformation_eps=5e-4) and the
+in-repo `cuda_icp` point-to-plane ICP (cuda_icp/icp.cu:142-298: a 29-float
+tight Gauss-Newton accumulator reduced per iteration, 6x6 solve on host).
+
+Design:
+  * All N candidate poses refine simultaneously: residual construction and
+    the 6x6 normal-equation accumulation are einsums over [N, P]
+    correspondences; the 6x6 solves are a batched `jnp.linalg.solve`.
+  * Target normals come from per-segment covariance smallest-eigenvectors
+    computed by shifted power iteration (no eigh in the hot path).
+  * Fixed iteration count with masked convergence (XLA-static control flow):
+    converged poses stop moving but stay in the batch, mirroring the
+    reference's per-pose early-exit epsilons.
+  * Updates compose in the camera frame on the left: pose' = exp(xi) @ pose,
+    matching fast_gicp's estimated-then-concatenate contract
+    (renderer.cu:1722-1730 `concatenate_transforms`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def so3_exp(omega: jax.Array) -> jax.Array:
+    """Batched SO(3) exponential map [.., 3] -> [.., 3, 3] (Rodrigues)."""
+    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    theta = jnp.maximum(theta, 1e-12)
+    axis = omega / theta
+    theta = theta[..., None]
+    k = _hat(axis)
+    eye = jnp.broadcast_to(jnp.eye(3), k.shape)
+    return eye + jnp.sin(theta) * k + (1 - jnp.cos(theta)) * (k @ k)
+
+
+def _hat(v: jax.Array) -> jax.Array:
+    zeros = jnp.zeros_like(v[..., 0])
+    return jnp.stack([
+        jnp.stack([zeros, -v[..., 2], v[..., 1]], axis=-1),
+        jnp.stack([v[..., 2], zeros, -v[..., 0]], axis=-1),
+        jnp.stack([-v[..., 1], v[..., 0], zeros], axis=-1),
+    ], axis=-2)
+
+
+def se3_exp(xi: jax.Array) -> jax.Array:
+    """Batched SE(3)-style update [.., 6] (omega, t) -> [.., 4, 4].
+
+    First-order in translation (rotation exact), matching the small-step GN
+    updates of the reference solvers (eigen_slover_666 builds the same
+    linearised transform).
+    """
+    rot = so3_exp(xi[..., :3])
+    out = jnp.zeros(xi.shape[:-1] + (4, 4), xi.dtype)
+    out = out.at[..., :3, :3].set(rot)
+    out = out.at[..., :3, 3].set(xi[..., 3:])
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
+def smallest_eigenvector_3x3(cov: jax.Array, iters: int = 12) -> jax.Array:
+    """Smallest eigenvector of symmetric [.., 3, 3] via shifted power iteration.
+
+    M = sigma*I - C has the smallest eigenvector of C as its dominant one
+    (sigma = trace upper-bounds lambda_max). Deterministic start; safeguarded
+    against the start vector being orthogonal to the target by mixing in a
+    second basis vector.
+    """
+    sigma = jnp.trace(cov, axis1=-2, axis2=-1)[..., None, None]
+    m = sigma * jnp.broadcast_to(jnp.eye(3), cov.shape) - cov
+    m = m @ m  # square to double the convergence rate per iteration
+    v = jnp.broadcast_to(jnp.array([0.57735, 0.57735, 0.57735]), cov.shape[:-2] + (3,))
+    v = v + jnp.array([0.1, -0.05, 0.02])
+    for _ in range(iters):
+        v = jnp.einsum("...ij,...j->...i", m, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+    return v
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cloud_normals(xyz: jax.Array, valid: jax.Array, k: int = 10) -> jax.Array:
+    """Per-point normals from k-NN covariance smallest-eigenvectors.
+
+    xyz [B, P, 3]; normals oriented towards the camera origin (-z viewing),
+    i.e. flipped so that n . p < 0 (points are in the camera frame).
+    Mirrors fast_gicp covariance estimation with k_correspondences
+    neighbours (renderer.cu:1697).
+    """
+    from perception_tpu.ops.knn import knn_self
+
+    _, idx = knn_self(xyz, valid, k=k)
+    # neighbors [B, P, k, 3] = xyz[b, idx[b, p, j]]
+    neighbors = jax.vmap(lambda cloud, ind: cloud[ind])(xyz, idx)
+    mean = neighbors.mean(axis=2, keepdims=True)
+    centered = neighbors - mean
+    cov = jnp.einsum("bpki,bpkj->bpij", centered, centered) / k
+    n = smallest_eigenvector_3x3(cov)
+    # Orient towards the viewpoint (origin).
+    flip = jnp.sign(-jnp.sum(n * xyz, axis=-1, keepdims=True))
+    return n * jnp.where(flip == 0, 1.0, flip)
+
+
+class ICPResult(NamedTuple):
+    delta: jax.Array       # [N, 4, 4] camera-frame correction (pose' = delta @ pose)
+    fitness: jax.Array     # [N] inlier fraction at convergence
+    rmse: jax.Array        # [N] inlier RMSE (m)
+    iterations: jax.Array  # [N] int32 iterations until convergence
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations", "ref_tile"))
+def icp_point_to_plane_batch(
+    src_xyz: jax.Array,      # [N, P, 3] rendered cloud per pose (camera frame, m)
+    src_valid: jax.Array,    # [N, P]
+    tgt_xyz: jax.Array,      # [N, S, 3] observed segment per pose
+    tgt_valid: jax.Array,    # [N, S]
+    tgt_normals: jax.Array,  # [N, S, 3]
+    *,
+    max_iterations: int = 30,
+    max_correspondence: float = 0.05,   # m (PERCHParams icp_max_correspondence)
+    rotation_epsilon: float = 2e-3,
+    transformation_epsilon: float = 5e-4,
+    damping: float = 1e-6,
+    ref_tile: int = 512,
+) -> ICPResult:
+    """Refine all poses against their observed segments simultaneously."""
+    from perception_tpu.ops.knn import nn1_batch
+
+    n, p, _ = src_xyz.shape
+    max_corr_sq = max_correspondence * max_correspondence
+
+    def body(carry, _):
+        delta, converged, iters = carry
+        cur = jnp.einsum("nij,npj->npi", delta[:, :3, :3], src_xyz) + delta[:, None, :3, 3]
+        dist_sq, idx = nn1_batch(cur, src_valid, tgt_xyz, tgt_valid,
+                                 ref_tile=ref_tile)
+        q = jnp.take_along_axis(tgt_xyz, idx[..., None], axis=1)
+        nrm = jnp.take_along_axis(tgt_normals, idx[..., None], axis=1)
+        w = (src_valid & (dist_sq <= max_corr_sq)).astype(jnp.float32)
+
+        e = jnp.sum(nrm * (cur - q), axis=-1)                   # [N, P]
+        j_rot = jnp.cross(cur, nrm)                             # [N, P, 3]
+        jac = jnp.concatenate([j_rot, nrm], axis=-1)            # [N, P, 6]
+
+        h = jnp.einsum("npi,npj,np->nij", jac, jac, w)
+        g = -jnp.einsum("npi,np,np->ni", jac, e, w)
+        h = h + damping * jnp.eye(6)
+        # Guard singular systems (no inliers): solve against identity-ish.
+        count = w.sum(axis=1)
+        ok = count >= 6
+        h = jnp.where(ok[:, None, None], h, jnp.eye(6))
+        xi = jnp.linalg.solve(h, g[..., None])[..., 0]
+        xi = jnp.where((ok & ~converged)[:, None], xi, 0.0)
+
+        step = se3_exp(xi)
+        new_delta = jnp.einsum("nij,njk->nik", step, delta)
+
+        rot_small = jnp.linalg.norm(xi[:, :3], axis=1) < rotation_epsilon
+        trans_small = jnp.linalg.norm(xi[:, 3:], axis=1) < transformation_epsilon
+        newly = rot_small & trans_small
+        iters = iters + (~converged).astype(jnp.int32)
+        converged = converged | newly | ~ok
+
+        mse = jnp.sum(e * e * w, axis=1) / jnp.maximum(count, 1.0)
+        fitness = count / jnp.maximum(src_valid.sum(axis=1), 1.0)
+        return (new_delta, converged, iters), (fitness, jnp.sqrt(mse))
+
+    init = (jnp.broadcast_to(jnp.eye(4), (n, 4, 4)),
+            jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32))
+    (delta, _, iters), (fit_hist, rmse_hist) = jax.lax.scan(
+        body, init, None, length=max_iterations)
+    return ICPResult(delta=delta, fitness=fit_hist[-1], rmse=rmse_hist[-1],
+                     iterations=iters)

@@ -157,6 +157,13 @@ def _rasterize_keys(coefs: jax.Array, aux: jax.Array, ok: jax.Array,
     Scans triangle tiles to bound live intermediates at [Npix, tile].
     """
     t_cap = coefs.shape[0]
+    tile = min(tile, t_cap)
+    if t_cap % tile:
+        pad = tile - t_cap % tile
+        coefs = jnp.pad(coefs, ((0, pad), (0, 0), (0, 0)))
+        aux = jnp.pad(aux, ((0, pad), (0, 0)))
+        ok = jnp.pad(ok, (0, pad))
+        t_cap += pad
     num_tiles = t_cap // tile
     coefs_t = coefs.reshape(num_tiles, tile, 3, 3)
     ok_t = ok.reshape(num_tiles, tile)

@@ -1,0 +1,486 @@
+"""Recognition environment: observed-input processing + candidate scoring.
+
+Host-side orchestration equal to the reference `EnvObjectRecognition`
+(sbpl_perception/src/search_env.cpp) minus the MPI/ROS plumbing:
+
+  * `set_input` mirrors SetInput (search_env.cpp:5862-6213): ingest the
+    observed RGB-D frame + instance mask, build the strided label-partitioned
+    observed cloud (device) and world-frame KD-trees (host) for validity
+    pruning;
+  * `score_object_states` mirrors ComputeGreedyCostsInParallelGPU
+    (search_env.cpp:1782-2052): dispatch pose batches through the jitted
+    scoring pipeline in gpu_batch_size chunks;
+  * `compute_greedy_poses` mirrors ComputeGreedyRenderPoses
+    (search_env.cpp:2462-2651): per-model argmin with the
+    |target - source| < 30 consistency filter;
+  * `set_observation_from_states` mirrors the simulated-GT fake-input path
+    (SetObservation(object_ids, poses), search_env.cpp:5777-5824) used by
+    integration tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial import cKDTree
+
+from perception_tpu.core.config import CameraIntrinsics, EnvConfig, PerchConfig
+from perception_tpu.core.mesh import ModelBank
+from perception_tpu.core.pose import CAM_TO_BODY, ContPose, world_to_optical_cam
+from perception_tpu.core.state import GraphState, ObjectState
+from perception_tpu.ops.cost import (
+    COST_TYPE_3DOF_DEPTH,
+    COST_TYPE_3DOF_RGBD,
+    COST_TYPE_6DOF,
+)
+from perception_tpu.ops.icp import cloud_normals
+from perception_tpu.ops.pointcloud import observed_cloud_from_depth
+from perception_tpu.pipeline.scorer import PoseScores, ScorerConfig, score_pose_batch
+from perception_tpu.utils.stats import EnvStats
+
+
+@dataclasses.dataclass
+class RecognitionInput:
+    """Observed scene input (reference RecognitionInput, utils/utils.h:31-80)."""
+
+    depth_image: np.ndarray                 # [H, W] raw sensor units
+    color_image: np.ndarray | None = None   # [H, W, 3]
+    label_mask: np.ndarray | None = None    # [H, W] int, 1-based instances
+    depth_factor: float = 100.0             # sensor units per metre
+    cam_to_world: np.ndarray = dataclasses.field(
+        default_factory=lambda: CAM_TO_BODY.copy())  # camera optical -> world
+    segmented_object_names: list[str] = dataclasses.field(default_factory=list)
+    # 3-DoF support-surface search region (world frame).
+    x_min: float = -1.0
+    x_max: float = 1.0
+    y_min: float = -1.0
+    y_max: float = 1.0
+    table_height: float = 0.0
+    use_external_pose_list: bool = True     # 6-DoF mode
+
+
+@dataclasses.dataclass
+class ScoredState:
+    """Per-candidate result unit (reference CostComputationOutput)."""
+
+    state: ObjectState
+    cost: int
+    target_cost: int       # rendered cost %
+    source_cost: int       # observed cost %
+    last_level_cost: int   # points-diff
+    adjusted_pose_cam: np.ndarray  # [4, 4] model->camera (post-ICP)
+
+
+class PerceptionEnv:
+    def __init__(
+        self,
+        bank: ModelBank,
+        camera: CameraIntrinsics,
+        perch: PerchConfig | None = None,
+        env: EnvConfig | None = None,
+    ):
+        self.bank = bank
+        self.camera = camera
+        self.perch = perch or PerchConfig()
+        self.env = env or EnvConfig(width=camera.width, height=camera.height)
+        self.stats = EnvStats()
+        self._input: RecognitionInput | None = None
+        self._observed = None
+        self._seg_normals = None
+        self._source_depth = None
+        self._source_label = None
+        self._world_kdtree: cKDTree | None = None
+        self._seg_kdtrees: list[cKDTree | None] = []
+        self._proj = jnp.asarray(camera.projection())
+        self._bank_tri_verts = jnp.asarray(bank.tri_verts)
+        self._bank_tri_colors = jnp.asarray(bank.tri_colors)
+        self._bank_tri_valid = jnp.asarray(bank.tri_valid)
+
+    # ------------------------------------------------------------------
+    # Input processing
+    # ------------------------------------------------------------------
+
+    def set_input(self, rin: RecognitionInput) -> None:
+        t0 = time.perf_counter()
+        self._input = rin
+        cam, env, perch = self.camera, self.env, self.perch
+        stride = int(perch.gpu_stride)
+
+        h, w = rin.depth_image.shape
+        assert (h, w) == (cam.height, cam.width), "depth image size mismatch"
+        color = rin.color_image if rin.color_image is not None else np.zeros(
+            (h, w, 3), np.float32)
+        if rin.use_external_pose_list:
+            label = rin.label_mask
+            assert label is not None, "6-DoF mode needs an instance mask"
+        else:
+            label = np.ones((h, w), np.int32)
+
+        use_label = bool(rin.use_external_pose_list)
+        bounds = None
+        cam_to_world = jnp.asarray(rin.cam_to_world.astype(np.float32))
+        use_bounds = not use_label
+        if use_bounds:
+            bounds = jnp.asarray([
+                rin.x_max, rin.x_min, rin.y_max, rin.y_min,
+                rin.table_height + 2.0, rin.table_height - 0.01,
+            ], jnp.float32)
+
+        self._observed = observed_cloud_from_depth(
+            jnp.asarray(np.ascontiguousarray(rin.depth_image, np.float32)),
+            jnp.asarray(np.ascontiguousarray(color, np.float32)),
+            jnp.asarray(np.ascontiguousarray(label, np.int32)),
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            width=cam.width, height=cam.height, stride=stride,
+            depth_factor=float(rin.depth_factor),
+            max_points=env.max_observed_points,
+            seg_cap=env.max_points_per_label,
+            num_labels=env.max_labels,
+            use_label_filter=use_label,
+            use_bounds_filter=use_bounds,
+            bounds=bounds,
+            cam_to_world=cam_to_world)
+
+        # Normals for point-to-plane refinement (per segment).
+        self._seg_normals = cloud_normals(
+            self._observed.seg_xyz, self._observed.seg_valid, k=10)
+
+        # Strided source images in render units (int cm): the occlusion
+        # comparison input (search_env.cpp:2484-2498 depth division).
+        division = float(rin.depth_factor) / env.gpu_depth_factor
+        src = rin.depth_image[::stride, ::stride].astype(np.float64) / division
+        self._source_depth = jnp.asarray(src.astype(np.int32))
+        self._source_label = jnp.asarray(
+            label[::stride, ::stride].astype(np.int32))
+
+        # Host-side world-frame KD-trees for validity checks
+        # (SetObservation's knn / segmented_object_knn, search_env.cpp:5542+).
+        xyz = np.asarray(self._observed.xyz)
+        valid = np.asarray(self._observed.valid)
+        labels = np.asarray(self._observed.label)
+        pts_cam = xyz[valid]
+        pts_world = pts_cam @ rin.cam_to_world[:3, :3].T + rin.cam_to_world[:3, 3]
+        self._world_points = pts_world
+        self._world_labels = labels[valid]
+        self._world_kdtree = cKDTree(pts_world) if len(pts_world) else None
+        self._seg_kdtrees = []
+        for l in range(self.env.max_labels):
+            seg = pts_world[self._world_labels == l]
+            self._seg_kdtrees.append(cKDTree(seg) if len(seg) else None)
+        self.stats.input_time = time.perf_counter() - t0
+
+    def set_observation_from_states(
+        self, states: Sequence[ObjectState],
+        noise_std: float = 0.0,
+        rng: np.random.Generator | None = None,
+    ) -> None:
+        """Simulated ground-truth input: render the given scene state and use
+        it as the observation (reference fake-input path,
+        search_env.cpp:5777-5824). Labels are assigned per object in order.
+        """
+        depth, color, label = self.render_composite(states)
+        depth_m = depth.astype(np.float64) / self.env.gpu_depth_factor
+        if noise_std > 0:
+            rng = rng or np.random.default_rng(0)
+            depth_m[depth_m > 0] += rng.normal(0, noise_std, (depth_m > 0).sum())
+        rin = RecognitionInput(
+            depth_image=(depth_m * 100.0),     # store in cm, factor 100
+            color_image=color,
+            label_mask=label,
+            depth_factor=100.0,
+            cam_to_world=CAM_TO_BODY.copy(),
+            segmented_object_names=[self.bank.models[s.id].name for s in states],
+            use_external_pose_list=True,
+        )
+        self.set_input(rin)
+
+    def render_composite(self, states: Sequence[ObjectState]):
+        """Render a multi-object scene into one depth/color/label image at
+        full stride-1 resolution (reference single_result_image mode)."""
+        cam = self.camera
+        from perception_tpu.ops.rasterizer import render_pose_batch
+
+        poses = np.stack([self.pose_to_camera(s) for s in states])
+        ids = np.asarray([s.id for s in states], np.int32)
+        out = render_pose_batch(
+            self._bank_tri_verts, self._bank_tri_colors, self._bank_tri_valid,
+            jnp.asarray(poses.astype(np.float32)), jnp.asarray(ids),
+            self._proj, width=cam.width, height=cam.height, stride=1,
+            tile=min(256, self.bank.tri_verts.shape[1]))
+        depths = np.asarray(out.depth)   # [N, H, W]
+        colors = np.asarray(out.color)
+        empty = depths == 0
+        depths_inf = np.where(empty, np.iinfo(np.int32).max, depths)
+        winner = depths_inf.argmin(axis=0)
+        depth = np.take_along_axis(depths_inf, winner[None], axis=0)[0]
+        depth = np.where(depth == np.iinfo(np.int32).max, 0, depth)
+        color = np.take_along_axis(
+            colors, winner[None, ..., None], axis=0)[0]
+        label = np.where(depth > 0, winner + 1, 0).astype(np.int32)
+        return depth, color, label
+
+    # ------------------------------------------------------------------
+    # Pose transforms
+    # ------------------------------------------------------------------
+
+    def pose_to_camera(self, state: ObjectState) -> np.ndarray:
+        """World-frame ContPose -> model->camera matrix incl. preprocessing
+        (search_env.cpp:1555-1575)."""
+        cam_to_world = (self._input.cam_to_world if self._input is not None
+                        else CAM_TO_BODY.copy())
+        # cam_to_world here maps optical camera frame -> world directly;
+        # reference composes cam_to_world_ (body) with CAM_TO_BODY. We store
+        # the optical transform, so the inverse is direct.
+        cam_matrix = np.linalg.inv(cam_to_world)
+        transform = state.pose.transform()
+        pre = self.bank.models[state.id].preprocessing_transform
+        return (cam_matrix @ transform @ pre).astype(np.float32)
+
+    def camera_to_world_pose(self, mat_cam: np.ndarray, model_id: int,
+                             remove_preprocessing: bool = True) -> ContPose:
+        """Inverse of pose_to_camera for reporting adjusted poses
+        (search_env.cpp:1996-2012)."""
+        cam_to_world = self._input.cam_to_world
+        m = cam_to_world @ mat_cam
+        if remove_preprocessing:
+            pre = self.bank.models[model_id].preprocessing_transform
+            m = m @ np.linalg.inv(pre)
+        return ContPose.from_matrix(m)
+
+    # ------------------------------------------------------------------
+    # Validity pruning (IsValidPose, search_env.cpp:309-528)
+    # ------------------------------------------------------------------
+
+    def is_valid_pose(self, state: ObjectState, placed: GraphState | None = None,
+                      after_refinement: bool = False) -> bool:
+        model = self.bank.models[state.id]
+        perch, env = self.perch, self.env
+        p = np.array([state.pose.x, state.pose.y, state.pose.z])
+
+        grid_rad = 0.0 if after_refinement else float(np.hypot(env.res / 2, env.res / 2))
+        min_pts = perch.min_neighbor_points_for_valid_pose
+
+        if self._input is not None and self._input.use_external_pose_list:
+            rad = max(model.inflation_factor * model.circumscribed_radius_3d,
+                      grid_rad)
+            tree = None
+            if 0 <= state.segmentation_label_id - 1 < len(self._seg_kdtrees):
+                tree = self._seg_kdtrees[state.segmentation_label_id - 1]
+            if tree is None:
+                tree = self._world_kdtree
+            if tree is None:
+                return False
+            count = len(tree.query_ball_point(p, rad))
+            if count < min_pts:
+                return False
+        else:
+            rad = max(model.circumscribed_radius, grid_rad)
+            if self._world_kdtree is None:
+                return False
+            # Projected (x, y) search like the reference's projected_knn_.
+            xy = self._world_points[:, :2]
+            d2 = ((xy - p[:2]) ** 2).sum(axis=1)
+            if (d2 <= rad * rad).sum() < min_pts:
+                return False
+            # Pairwise inscribed-circle collision with already-placed objects.
+            if placed is not None:
+                r1 = model.inscribed_radius
+                for other in placed.object_states:
+                    r2 = self.bank.models[other.id].inscribed_radius
+                    dx = state.pose.x - other.pose.x
+                    dy = state.pose.y - other.pose.y
+                    if dx * dx + dy * dy < (r1 + r2) ** 2:
+                        return False
+            # Footprint within the support surface bounds.
+            hull = model.footprint_hull()
+            rot = state.pose.rotation()[:2, :2]
+            fp = hull @ rot.T + [state.pose.x, state.pose.y]
+            tol = perch.footprint_tolerance
+            rin = self._input
+            if ((fp[:, 0] < rin.x_min - tol).any()
+                    or (fp[:, 0] > rin.x_max + tol).any()
+                    or (fp[:, 1] < rin.y_min - tol).any()
+                    or (fp[:, 1] > rin.y_max + tol).any()):
+                return False
+        return True
+
+    # ------------------------------------------------------------------
+    # Scoring
+    # ------------------------------------------------------------------
+
+    def _scorer_config(self, do_icp: bool | None = None) -> ScorerConfig:
+        cam, perch, env = self.camera, self.perch, self.env
+        six_dof = self._input.use_external_pose_list
+        if six_dof:
+            cost_type = COST_TYPE_6DOF
+        elif perch.use_color_cost:
+            cost_type = COST_TYPE_3DOF_RGBD
+        else:
+            cost_type = COST_TYPE_3DOF_DEPTH
+        if do_icp is None:
+            do_icp = perch.icp_type == 3
+        return ScorerConfig(
+            width=cam.width, height=cam.height, stride=int(perch.gpu_stride),
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            max_points_per_pose=env.max_points_per_pose,
+            cost_type=cost_type,
+            sensor_resolution=perch.sensor_resolution,
+            color_distance_threshold=perch.color_distance_threshold,
+            occlusion_threshold=perch.gpu_occlusion_threshold,
+            use_segmentation_label=six_dof,
+            do_icp=do_icp,
+            icp_max_iterations=min(perch.max_icp_iterations, 60),
+            icp_max_correspondence=perch.icp_max_correspondence,
+            icp_downsample=env.icp_downsample,
+            depth_factor=env.gpu_depth_factor,
+        )
+
+    def score_object_states(
+        self, states: Sequence[ObjectState], do_icp: bool | None = None,
+    ) -> list[ScoredState]:
+        """Score candidate single-object placements in gpu_batch_size chunks."""
+        assert self._observed is not None, "call set_input first"
+        cfg = self._scorer_config(do_icp)
+        obs = self._observed
+        seg_count = np.asarray(obs.seg_count, np.float32)
+        total_points = float(np.asarray(obs.count))
+
+        results: list[ScoredState] = []
+        batch = int(self.perch.gpu_batch_size)
+        for start in range(0, len(states), batch):
+            chunk = list(states[start:start + batch])
+            n = len(chunk)
+            poses = np.stack([self.pose_to_camera(s) for s in chunk])
+            ids = np.asarray([s.id for s in chunk], np.int32)
+            labels = np.asarray(
+                [max(s.segmentation_label_id - 1, 0) for s in chunk], np.int32)
+            if self._input.use_external_pose_list:
+                observed_total = seg_count[labels]
+            else:
+                observed_total = np.full(n, total_points, np.float32)
+
+            t0 = time.perf_counter()
+            scores: PoseScores = score_pose_batch(
+                self._bank_tri_verts, self._bank_tri_colors,
+                self._bank_tri_valid,
+                jnp.asarray(poses.astype(np.float32)), jnp.asarray(ids),
+                jnp.asarray(labels), jnp.asarray(observed_total),
+                self._proj, self._source_depth, self._source_label,
+                obs.seg_xyz, obs.seg_rgb, obs.seg_valid, self._seg_normals,
+                cfg)
+            total = np.asarray(scores.total_cost)
+            rendered = np.asarray(scores.rendered_cost)
+            observed = np.asarray(scores.observed_cost)
+            diff = np.asarray(scores.points_diff_cost)
+            adjusted = np.asarray(scores.adjusted_poses)
+            self.stats.gpu_time += time.perf_counter() - t0
+            self.stats.scenes_rendered += n
+
+            for i, st in enumerate(chunk):
+                # (100, 100) degenerate diff rule (search_env.cpp:2030-2033).
+                d = diff[i]
+                if int(rendered[i]) == 100 and int(observed[i]) == 100:
+                    d = 100.0
+                results.append(ScoredState(
+                    state=st,
+                    cost=int(total[i]),
+                    target_cost=int(rendered[i]),
+                    source_cost=int(observed[i]),
+                    last_level_cost=int(d),
+                    adjusted_pose_cam=adjusted[i],
+                ))
+        return results
+
+    # ------------------------------------------------------------------
+    # Greedy recognition (PERCH 2.0 flagship path)
+    # ------------------------------------------------------------------
+
+    def compute_greedy_poses(
+        self, candidates: Sequence[ObjectState], do_icp: bool | None = None,
+    ) -> tuple[GraphState, list[ScoredState]]:
+        """Per-model argmin over scored candidates with the
+        |target - source| < 30 filter (search_env.cpp:2542-2583)."""
+        t0 = time.perf_counter()
+        scored = self.score_object_states(candidates, do_icp)
+        num_models = len(self.bank.models)
+        best: list[ScoredState | None] = [None] * num_models
+        for su in scored:
+            if su.cost in (-1, -2):
+                continue
+            if abs(su.target_cost - su.source_cost) >= 30:
+                continue
+            mid = su.state.id
+            if best[mid] is None or su.cost < best[mid].cost:
+                best[mid] = su
+        state = GraphState()
+        chosen = []
+        for mid in range(num_models):
+            if best[mid] is None:
+                continue
+            su = best[mid]
+            adjusted_pose = self.camera_to_world_pose(
+                su.adjusted_pose_cam, mid, remove_preprocessing=True)
+            adj_state = ObjectState(
+                id=mid, symmetric=su.state.symmetric, pose=adjusted_pose,
+                segmentation_label_id=su.state.segmentation_label_id)
+            state = state.append(adj_state)
+            chosen.append(dataclasses.replace(su, state=adj_state))
+        self.stats.time = time.perf_counter() - t0
+        self.stats.scenes_valid = sum(1 for s in scored if s.cost >= 0)
+        return state, chosen
+
+    # ------------------------------------------------------------------
+    # Successor generation (GenerateSuccessorStates, search_env.cpp:7091+)
+    # ------------------------------------------------------------------
+
+    def generate_successors_6dof(
+        self, pose_lists: dict[str, np.ndarray],
+    ) -> list[ObjectState]:
+        """Candidate object states from per-object pose arrays [K, 7]
+        (x y z qx qy qz qw — the poses.txt contract), validity-pruned."""
+        out = []
+        names = self._input.segmented_object_names
+        for model_name, arr in pose_lists.items():
+            mid = self.bank.index_of(model_name)
+            model = self.bank.models[mid]
+            label_id = (names.index(model_name) + 1
+                        if model_name in names else 1)
+            ext_id = 0
+            for row in np.asarray(arr):
+                pose = ContPose.from_quat(*row[:7])
+                st = ObjectState(id=mid, symmetric=model.symmetric, pose=pose,
+                                 segmentation_label_id=label_id,
+                                 external_pose_id=ext_id)
+                ext_id += 1
+                if self.is_valid_pose(st):
+                    out.append(st)
+        return out
+
+    def generate_successors_3dof(self) -> list[ObjectState]:
+        """Grid successor generation (x, y, theta) over the support surface
+        (search_env.cpp:7270-7350)."""
+        rin, env = self._input, self.env
+        out = []
+        for mid, model in enumerate(self.bank.models):
+            res = env.res
+            x = rin.x_min
+            while x <= rin.x_max + 1e-9:
+                y = rin.y_min
+                while y <= rin.y_max + 1e-9:
+                    theta = 0.0
+                    n_theta = 1 if model.symmetric else max(
+                        1, int(round(2 * np.pi / env.theta_res)))
+                    for k in range(n_theta):
+                        pose = ContPose.from_euler(
+                            x, y, rin.table_height, 0.0, 0.0, k * env.theta_res)
+                        st = ObjectState(id=mid, symmetric=model.symmetric,
+                                         pose=pose, segmentation_label_id=1)
+                        if self.is_valid_pose(st):
+                            out.append(st)
+                    y += res
+                x += res
+        return out

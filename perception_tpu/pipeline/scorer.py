@@ -1,0 +1,167 @@
+"""The unified candidate-pose scoring pipeline.
+
+One jitted, shardable program equal to the reference's
+`render_cuda_multi_unified` COST stage (cuda_renderer/src/cuda/renderer.cu:
+1431-1934):
+
+    render -> depth->cloud -> [GICP refine -> re-render -> re-cloud]
+           -> 1-NN -> costs
+
+All stages operate on the full pose batch with static shapes; the host never
+sees intermediates (the reference crosses the device boundary twice per
+batch; here the only outputs are per-pose scalars and adjusted pose
+matrices). The pose axis is the natural sharding axis for multi-chip
+execution (see perception_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from perception_tpu.ops.cost import COST_TYPE_6DOF, CostOutput, compute_costs
+from perception_tpu.ops.icp import icp_point_to_plane_batch
+from perception_tpu.ops.knn import nn1_batch
+from perception_tpu.ops.pointcloud import depth_to_cloud_batch
+from perception_tpu.ops.rasterizer import render_pose_batch
+
+
+@dataclasses.dataclass(frozen=True)
+class ScorerConfig:
+    """Static (shape/trace-affecting) pipeline parameters."""
+
+    width: int = 640
+    height: int = 480
+    stride: int = 8
+    fx: float = 1066.778
+    fy: float = 1067.487
+    cx: float = 312.9869
+    cy: float = 241.3109
+    max_points_per_pose: int = 1024
+    cost_type: int = COST_TYPE_6DOF
+    sensor_resolution: float = 0.01
+    color_distance_threshold: float = 15.0
+    occlusion_threshold: float = 1.0
+    use_segmentation_label: bool = True
+    do_icp: bool = True
+    icp_max_iterations: int = 30
+    icp_max_correspondence: float = 0.05
+    icp_rotation_epsilon: float = 2e-3
+    icp_transformation_epsilon: float = 5e-4
+    icp_downsample: int = 4
+    raster_tile: int = 256
+    knn_ref_tile: int = 512
+    depth_factor: float = 100.0   # render depth units per metre
+
+
+class PoseScores(NamedTuple):
+    total_cost: jax.Array        # [N] int32; -1 invalid (reference sentinel)
+    rendered_cost: jax.Array     # [N] float32 (target cost)
+    observed_cost: jax.Array     # [N] float32 (source cost)
+    points_diff_cost: jax.Array  # [N] float32 (last-level cost)
+    adjusted_poses: jax.Array    # [N, 4, 4] post-ICP model->camera
+    pose_occluded: jax.Array     # [N] int32
+    point_count: jax.Array      # [N] float32 rendered points per pose
+
+
+def _render_and_cloud(bank_tri_verts, bank_tri_colors, bank_tri_valid,
+                      poses, model_ids, proj, source_depth, source_label,
+                      pose_labels, cfg: ScorerConfig):
+    out = render_pose_batch(
+        bank_tri_verts, bank_tri_colors, bank_tri_valid,
+        poses, model_ids, proj,
+        width=cfg.width, height=cfg.height, stride=cfg.stride,
+        source_depth=source_depth, source_label=source_label,
+        pose_labels=pose_labels,
+        occlusion_threshold=cfg.occlusion_threshold,
+        use_segmentation_label=cfg.use_segmentation_label,
+        tile=cfg.raster_tile)
+    cloud = depth_to_cloud_batch(
+        out.depth, out.color,
+        fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
+        width=cfg.width, height=cfg.height, stride=cfg.stride,
+        depth_factor=cfg.depth_factor,
+        max_points=cfg.max_points_per_pose)
+    return out, cloud
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def score_pose_batch(
+    bank_tri_verts: jax.Array,   # [M, T, 3, 3]
+    bank_tri_colors: jax.Array,  # [M, T, 3]
+    bank_tri_valid: jax.Array,   # [M, T]
+    poses: jax.Array,            # [N, 4, 4] model->camera (m)
+    model_ids: jax.Array,        # [N] int32
+    pose_labels: jax.Array,      # [N] int32 0-based segment labels
+    observed_total: jax.Array,   # [N] float32 observed points for each pose
+    proj: jax.Array,             # [4, 4]
+    source_depth: jax.Array,     # [h_s, w_s] int32 cm (strided observed depth)
+    source_label: jax.Array,     # [h_s, w_s] int32 1-based labels
+    seg_xyz: jax.Array,          # [L, S, 3] observed segments
+    seg_rgb: jax.Array,          # [L, S, 3]
+    seg_valid: jax.Array,        # [L, S]
+    seg_normals: jax.Array,      # [L, S, 3] (used when do_icp)
+    cfg: ScorerConfig,
+) -> PoseScores:
+    """Render + (refine) + score one batch of candidate poses.
+
+    Segment gathering: pose i scores only against observed segment
+    pose_labels[i] (6-DoF; reference label-partitioned KNN). For 3-DoF
+    callers pass a single segment (L=1) and zero labels.
+    """
+    labels = jnp.clip(pose_labels, 0, seg_xyz.shape[0] - 1)
+    tgt_xyz = seg_xyz[labels]        # [N, S, 3]
+    tgt_rgb = seg_rgb[labels]
+    tgt_valid = seg_valid[labels]
+
+    render, cloud = _render_and_cloud(
+        bank_tri_verts, bank_tri_colors, bank_tri_valid,
+        poses, model_ids, proj, source_depth, source_label, pose_labels, cfg)
+
+    adjusted = poses
+    if cfg.do_icp:
+        ds = cfg.icp_downsample
+        icp = icp_point_to_plane_batch(
+            cloud.xyz[:, ::ds], cloud.valid[:, ::ds],
+            tgt_xyz, tgt_valid, seg_normals[labels],
+            max_iterations=cfg.icp_max_iterations,
+            max_correspondence=cfg.icp_max_correspondence,
+            rotation_epsilon=cfg.icp_rotation_epsilon,
+            transformation_epsilon=cfg.icp_transformation_epsilon,
+            ref_tile=cfg.knn_ref_tile)
+        adjusted = jnp.einsum("nij,njk->nik", icp.delta, poses)
+        # Re-render and re-cloud at the refined poses (renderer.cu:1740-1817).
+        render, cloud = _render_and_cloud(
+            bank_tri_verts, bank_tri_colors, bank_tri_valid,
+            adjusted, model_ids, proj, source_depth, source_label,
+            pose_labels, cfg)
+
+    dist_sq, idx = nn1_batch(cloud.xyz, cloud.valid, tgt_xyz, tgt_valid,
+                             ref_tile=cfg.knn_ref_tile)
+    costs: CostOutput = compute_costs(
+        dist_sq, idx, cloud.valid, render.pose_occluded,
+        cloud.rgb, tgt_rgb, observed_total,
+        sensor_resolution=cfg.sensor_resolution,
+        color_distance_threshold=cfg.color_distance_threshold,
+        cost_type=cfg.cost_type)
+
+    # Total-cost combination from ComputeGreedyCostsInParallelGPU
+    # (search_env.cpp:2022-2036): -1 sentinel propagates; otherwise
+    # int(rendered% + observed%).
+    invalid = costs.rendered_cost.astype(jnp.int32) < 0
+    total = (costs.rendered_cost + costs.observed_cost).astype(jnp.int32)
+    total = jnp.where(invalid, -1, total)
+
+    return PoseScores(
+        total_cost=total,
+        rendered_cost=costs.rendered_cost,
+        observed_cost=costs.observed_cost,
+        points_diff_cost=costs.points_diff_cost,
+        adjusted_poses=adjusted,
+        pose_occluded=render.pose_occluded,
+        point_count=costs.pose_point_num,
+    )
