@@ -311,10 +311,13 @@ def convex_hull_2d(points: np.ndarray) -> np.ndarray:
     order = np.lexsort((pts[:, 1], pts[:, 0]))
     pts = pts[order]
 
+    def cross2(a, b):
+        return a[0] * b[1] - a[1] * b[0]
+
     def half(iterable):
         hull: list[np.ndarray] = []
         for p in iterable:
-            while len(hull) >= 2 and np.cross(hull[-1] - hull[-2], p - hull[-2]) <= 0:
+            while len(hull) >= 2 and cross2(hull[-1] - hull[-2], p - hull[-2]) <= 0:
                 hull.pop()
             hull.append(p)
         return hull

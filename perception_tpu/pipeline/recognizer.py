@@ -1,0 +1,188 @@
+"""Recognition API: the reference `ObjectRecognizer` (L5) without ROS/MPI.
+
+Mirrors object_recognizer.cpp's public surface:
+  * `localize_objects_greedy_render` — PERCH 2.0 flagship greedy GPU path
+    (LocalizeObjectsGreedyRender, object_recognizer.cpp:290-342);
+  * `localize_objects_greedy_icp` — brute-force ICP baseline
+    (LocalizeObjectsGreedyICP, object_recognizer.cpp:236-284);
+  * `localize_objects` — PERCH 1.0 tree search
+    (LocalizeObjects + RunPlanner, object_recognizer.cpp:344-521).
+
+The rosparam/MPI-broadcast construction collapses into plain dataclasses;
+planner callbacks become direct method calls on the env.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from perception_tpu.core.config import CameraIntrinsics, EnvConfig, PerchConfig
+from perception_tpu.core.mesh import MeshModel, ModelBank, load_model
+from perception_tpu.core.pose import ContPose
+from perception_tpu.core.state import GraphState, ObjectState
+from perception_tpu.io.poses_file import (
+    read_poses_file,
+    write_cost_dump,
+    write_output_poses,
+    write_output_stats,
+)
+from perception_tpu.pipeline.env import PerceptionEnv, RecognitionInput
+
+
+@dataclasses.dataclass
+class ModelSpec:
+    """One model-bank entry (reference model_bank rosparam rows,
+    perch.py:107-137 / ModelMetaData)."""
+
+    name: str
+    path: str
+    flipped: bool = False
+    symmetric: bool = False
+    symmetry_mode: int = 0
+    search_resolution: float = 0.06
+    num_variants: int = 1
+
+
+@dataclasses.dataclass
+class LocalizationResult:
+    names: list[str]
+    poses: list[ContPose]
+    object_transforms: list[np.ndarray]          # incl preprocessing
+    preprocessing_transforms: list[np.ndarray]
+    stats: "object"
+
+
+class ObjectRecognizer:
+    def __init__(
+        self,
+        model_specs: list[ModelSpec],
+        camera: CameraIntrinsics,
+        perch: PerchConfig | None = None,
+        env_cfg: EnvConfig | None = None,
+        mesh_in_mm: bool = False,
+        mesh_scaling_factor: float = 0.001,
+        use_external_pose_list: bool = True,
+        target_triangles: int = 1024,
+    ):
+        models: list[MeshModel] = []
+        for spec in model_specs:
+            models.append(load_model(
+                spec.path, name=spec.name, mesh_in_mm=mesh_in_mm,
+                scaling_factor=mesh_scaling_factor, flipped=spec.flipped,
+                use_external_pose_list=use_external_pose_list,
+                target_triangles=target_triangles,
+                symmetric=spec.symmetric, symmetry_mode=spec.symmetry_mode))
+        bank = ModelBank.from_models(models)
+        self.env = PerceptionEnv(bank, camera, perch, env_cfg)
+        self.specs = model_specs
+
+    @property
+    def bank(self) -> ModelBank:
+        return self.env.bank
+
+    # -- PERCH 2.0 greedy render ---------------------------------------
+
+    def localize_objects_greedy_render(
+        self,
+        rin: RecognitionInput,
+        pose_lists: dict[str, np.ndarray],
+        output_dir: str | None = None,
+    ) -> LocalizationResult:
+        env = self.env
+        env.set_input(rin)
+        candidates = env.generate_successors_6dof(pose_lists)
+        state, chosen = env.compute_greedy_poses(candidates)
+        result = self._result_from_state(state)
+        env.stats.update_peak_memory()
+        if output_dir is not None:
+            self._write_outputs(output_dir, result, chosen)
+        return result
+
+    # -- Greedy ICP baseline (ComputeGreedyICPPoses) -------------------
+
+    def localize_objects_greedy_icp(
+        self, rin: RecognitionInput, output_dir: str | None = None,
+    ) -> LocalizationResult:
+        env = self.env
+        env.set_input(rin)
+        candidates = env.generate_successors_3dof()
+        # Score everything with ICP refinement on, pick per-model best by
+        # rendered fitness alone (the baseline ignores observed cost).
+        scored = env.score_object_states(candidates, do_icp=True)
+        best: dict[int, object] = {}
+        for su in scored:
+            if su.cost < 0:
+                continue
+            mid = su.state.id
+            if mid not in best or su.target_cost < best[mid].target_cost:
+                best[mid] = su
+        state = GraphState()
+        for mid in sorted(best):
+            su = best[mid]
+            pose = env.camera_to_world_pose(su.adjusted_pose_cam, mid)
+            state = state.append(ObjectState(
+                id=mid, symmetric=su.state.symmetric, pose=pose,
+                segmentation_label_id=su.state.segmentation_label_id))
+        result = self._result_from_state(state)
+        if output_dir is not None:
+            self._write_outputs(output_dir, result, list(best.values()))
+        return result
+
+    # -- PERCH 1.0 tree search -----------------------------------------
+
+    def localize_objects(
+        self, rin: RecognitionInput, output_dir: str | None = None,
+        **search_kwargs,
+    ) -> LocalizationResult:
+        from perception_tpu.pipeline.search import TreeSearch
+
+        env = self.env
+        env.set_input(rin)
+        search = TreeSearch(env, **search_kwargs)
+        state = search.plan()
+        self.env.stats.expands = search.stats.expands
+        result = self._result_from_state(state)
+        if output_dir is not None:
+            self._write_outputs(output_dir, result, [])
+        return result
+
+    # ------------------------------------------------------------------
+
+    def _result_from_state(self, state: GraphState) -> LocalizationResult:
+        names, poses, tfs, pres = [], [], [], []
+        for obj in state.object_states:
+            model = self.bank.models[obj.id]
+            names.append(model.name)
+            poses.append(obj.pose)
+            pre = model.preprocessing_transform
+            tfs.append(obj.pose.transform() @ pre)
+            pres.append(pre)
+        return LocalizationResult(
+            names=names, poses=poses, object_transforms=tfs,
+            preprocessing_transforms=pres, stats=self.env.stats)
+
+    def _write_outputs(self, output_dir: str, result: LocalizationResult,
+                       chosen) -> None:
+        os.makedirs(output_dir, exist_ok=True)
+        write_output_poses(
+            os.path.join(output_dir, "output_poses.txt"),
+            [(n, p, pre) for n, p, pre in zip(
+                result.names, result.poses, result.preprocessing_transforms)])
+        write_output_stats(
+            os.path.join(output_dir, "output_stats.txt"), self.env.stats)
+        if chosen:
+            write_cost_dump(
+                os.path.join(output_dir, "cost_dump.json"), chosen, self.env)
+
+    def read_pose_lists(self, rendered_root_dir: str,
+                        names: list[str] | None = None) -> dict[str, np.ndarray]:
+        """Load per-object poses.txt files (the 6-DoF candidate contract)."""
+        out = {}
+        for name in (names or [s.name for s in self.specs]):
+            path = os.path.join(rendered_root_dir, name, "poses.txt")
+            if os.path.exists(path):
+                out[name] = read_poses_file(path)
+        return out

@@ -1,0 +1,123 @@
+"""Tests for the I/O contracts and the evaluation stack."""
+
+import numpy as np
+
+from perception_tpu.core.pose import ContPose, euler_xyz_to_matrix
+from perception_tpu.eval.metrics import (
+    add_err,
+    adi_err,
+    compute_pose_metrics,
+    rot_err_deg,
+    trans_err,
+)
+from perception_tpu.eval.sampling import (
+    get_rotation_samples,
+    poses_from_rotations,
+    sphere_fibonacci_grid,
+)
+from perception_tpu.io.poses_file import (
+    read_output_poses,
+    read_poses_file,
+    write_output_poses,
+    write_output_stats,
+)
+from perception_tpu.utils.stats import EnvStats
+
+
+def test_poses_file_roundtrip(tmp_path):
+    rows = np.array([
+        [0.5, 0.1, -0.02, 0, 0, 0, 1],
+        [0.6, -0.1, 0.03, 0, 0, 0.7071, 0.7071],
+    ])
+    path = tmp_path / "poses.txt"
+    np.savetxt(path, rows)  # the reference driver writes via np.savetxt
+    got = read_poses_file(str(path))
+    np.testing.assert_allclose(got, rows, atol=1e-12)
+
+
+def test_output_poses_contract(tmp_path):
+    pre = np.eye(4)
+    pre[:3, 3] = [-0.01, 0.02, -0.05]
+    pose = ContPose.from_quat(0.5, 0.1, 0.0, 0, 0, 0.258819, 0.9659258)
+    path = str(tmp_path / "output_poses.txt")
+    write_output_poses(path, [("003_cracker_box", pose, pre)])
+
+    # Parse exactly the way perch.py does (13-line records).
+    with open(path) as f:
+        lines = f.readlines()
+    assert len(lines) == 13
+    recs = read_output_poses(path)
+    assert recs[0]["name"] == "003_cracker_box"
+    expected_tf = pose.transform() @ pre
+    np.testing.assert_allclose(recs[0]["transform_matrix"], expected_tf, atol=1e-6)
+    np.testing.assert_allclose(
+        recs[0]["preprocessing_transform_matrix"], pre, atol=1e-6)
+    np.testing.assert_allclose(recs[0]["location"], expected_tf[:3, 3], atol=1e-6)
+    q = recs[0]["quaternion_xyzw"]
+    assert np.isclose(abs(q[2]), 0.258819, atol=1e-5)
+
+
+def test_output_stats_contract(tmp_path):
+    stats = EnvStats(scenes_rendered=1234, scenes_valid=900, expands=10,
+                     time=1.5, cost=42, icp_time=0.3)
+    path = str(tmp_path / "output_stats.txt")
+    write_output_stats(path, stats)
+    with open(path) as f:
+        lines = f.readlines()
+    vals = [float(v) for v in lines[2].split()]
+    # perch.py reads [0]=rendered, [2]=expands, [3]=runtime, [5]=icp, [6]=mem.
+    assert vals[0] == 1234 and vals[2] == 10 and vals[3] == 1.5 and vals[5] == 0.3
+
+
+def test_fibonacci_sphere():
+    pts = sphere_fibonacci_grid(60)
+    assert pts.shape == (60, 3)
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=1), 1.0, atol=1e-9)
+    half = sphere_fibonacci_grid(60, half=True)
+    assert half.shape == (30, 3)
+    assert (half[:, 1] <= 0.01).all()  # lower half in y
+
+
+def test_rotation_samples_modes():
+    base = get_rotation_samples("002_master_chef_can", 40)   # mode (0,0)
+    assert base.shape == (20, 3)  # half sphere, 1 rot per viewpoint
+    clamp = get_rotation_samples("051_large_clamp", 40)      # mode (0,7)
+    assert clamp.shape == (80, 3)  # 4 in-plane yaw per viewpoint
+    banana = get_rotation_samples("011_banana", 40)          # mode (1,0)
+    assert banana.shape == (40, 3)  # whole sphere
+    rows = poses_from_rotations(base, np.array([0.5, 0.1, 0.9]))
+    assert rows.shape == (20, 7)
+    np.testing.assert_allclose(np.linalg.norm(rows[:, 3:], axis=1), 1, atol=1e-9)
+
+
+def test_add_adi_metrics(rng):
+    pts = rng.normal(size=(100, 3))
+    r_gt = euler_xyz_to_matrix(0.1, 0.2, 0.3)
+    t_gt = np.array([0.5, 0.0, 1.0])
+    assert add_err(r_gt, t_gt, r_gt, t_gt, pts) < 1e-12
+    # Pure translation offset: ADD equals the offset norm.
+    t_est = t_gt + [0.01, 0, 0]
+    assert np.isclose(add_err(r_gt, t_est, r_gt, t_gt, pts), 0.01)
+    # ADD-S is always <= ADD.
+    r_est = euler_xyz_to_matrix(0.1, 0.2, 0.5)
+    assert (adi_err(r_est, t_gt, r_gt, t_gt, pts)
+            <= add_err(r_est, t_gt, r_gt, t_gt, pts) + 1e-9)
+    assert np.isclose(rot_err_deg(r_gt, r_gt), 0.0, atol=1e-4)
+    assert np.isclose(trans_err(t_est, t_gt), 0.01)
+
+
+def test_auc_protocol():
+    # All-perfect poses -> AUC 100.
+    perfect = np.zeros(50)
+    m = compute_pose_metrics(perfect.copy())
+    assert np.isclose(m["auc"], 100.0, atol=0.5)
+    assert m["pose_error_less_perc"] == 100.0
+    # All failures -> AUC 0.
+    bad = np.full(50, 1.0)
+    m = compute_pose_metrics(bad.copy())
+    assert m["auc"] < 1.0
+    assert m["pose_error_less_perc"] == 0.0
+    # Uniform errors in [0, 0.1] -> AUC ~50.
+    uniform = np.linspace(0, 0.0999, 200)
+    m = compute_pose_metrics(uniform.copy())
+    assert 45 < m["auc"] < 55

@@ -1,0 +1,154 @@
+"""Tree-search and full CLI end-to-end tests on synthetic scenes."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from perception_tpu.core.pose import ContPose
+from perception_tpu.core.state import ObjectState
+from perception_tpu.pipeline.search import TreeSearch
+
+from tests.test_core import make_box
+from tests.test_pipeline import CAM, gt_states, make_env
+
+
+def jittered_candidates(gt, rng, n=8, sigma=0.025):
+    cands = []
+    for obj in gt:
+        cands.append(obj)
+        for _ in range(n):
+            j = rng.normal(0, sigma, 3)
+            p = ContPose.from_quat(obj.pose.x + j[0], obj.pose.y + j[1],
+                                   obj.pose.z + j[2], *obj.pose.quaternion())
+            cands.append(ObjectState(id=obj.id, symmetric=False, pose=p,
+                                     segmentation_label_id=obj.segmentation_label_id))
+    return cands
+
+
+def test_tree_search_recovers_scene():
+    env = make_env()
+    gt = gt_states()
+    env.set_observation_from_states(gt)
+    cands = jittered_candidates(gt, np.random.default_rng(7))
+    search = TreeSearch(env, beam_width=2, candidates_per_model=cands)
+    state = search.plan()
+    assert state.num_objects == 2
+    assert search.stats.expands >= 2
+    for sel in state.object_states:
+        true = gt[sel.id]
+        err = np.linalg.norm(
+            np.array([sel.pose.x, sel.pose.y, sel.pose.z])
+            - np.array([true.pose.x, true.pose.y, true.pose.z]))
+        assert err < 0.02, f"object {sel.id} off by {err}"
+
+
+def _write_box_ply(path, w, d, h, rgb):
+    verts, faces = make_box(w, d, h)
+    header = (
+        "ply\nformat ascii 1.0\n"
+        f"element vertex {len(verts)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        f"element face {len(faces)}\n"
+        "property list uchar int vertex_indices\nend_header\n")
+    with open(path, "w") as f:
+        f.write(header)
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]} {rgb[0]} {rgb[1]} {rgb[2]}\n")
+        for face in faces:
+            f.write(f"3 {face[0]} {face[1]} {face[2]}\n")
+
+
+@pytest.mark.slow
+def test_cli_localize_greedy(tmp_path):
+    """Full contract: config + images + poses.txt in, output_poses.txt out."""
+    import cv2
+
+    from perception_tpu.cli import main as cli_main
+    from perception_tpu.io.poses_file import read_output_poses
+
+    # Models on disk.
+    models = tmp_path / "models"
+    models.mkdir()
+    _write_box_ply(models / "red_box.ply", 0.12, 0.08, 0.10, (200, 40, 40))
+    _write_box_ply(models / "green_box.ply", 0.06, 0.06, 0.16, (40, 200, 40))
+
+    # Observation: render GT with the library itself (simulated sensor).
+    env = make_env()
+    gt = gt_states()
+    depth, color, label = env.render_composite(gt)
+    # Depth in cm -> write as 16-bit with depth_factor 1000 (mm).
+    depth_png = (depth.astype(np.float64) * 10).astype(np.uint16)  # cm -> mm
+    cv2.imwrite(str(tmp_path / "depth.png"), depth_png)
+    cv2.imwrite(str(tmp_path / "mask.png"), label.astype(np.uint8))
+    cv2.imwrite(str(tmp_path / "rgb.png"),
+                color[..., ::-1].astype(np.uint8))
+
+    # Candidate poses.txt per object: GT + jitter.
+    rng = np.random.default_rng(11)
+    poses_dir = tmp_path / "rendered"
+    for obj, name in zip(gt, ["red_box", "green_box"]):
+        d = poses_dir / name
+        d.mkdir(parents=True)
+        rows = [[obj.pose.x, obj.pose.y, obj.pose.z, *obj.pose.quaternion()]]
+        for _ in range(6):
+            j = rng.normal(0, 0.02, 3)
+            rows.append([obj.pose.x + j[0], obj.pose.y + j[1],
+                         obj.pose.z + j[2], *obj.pose.quaternion()])
+        np.savetxt(d / "poses.txt", np.asarray(rows))
+
+    cam_to_world = np.asarray(env._input.cam_to_world if env._input else
+                              np.eye(4))
+    from perception_tpu.core.pose import CAM_TO_BODY
+    config = {
+        "camera": {"fx": CAM.fx, "fy": CAM.fy, "cx": CAM.cx, "cy": CAM.cy,
+                   "width": CAM.width, "height": CAM.height},
+        "input": {
+            "depth_image": "depth.png",
+            "color_image": "rgb.png",
+            "label_mask": "mask.png",
+            "depth_factor": 1000,
+            "cam_to_world": CAM_TO_BODY.tolist(),
+            "segmented_object_names": ["red_box", "green_box"],
+        },
+        "model_bank": [
+            {"name": "red_box", "path": "models/red_box.ply"},
+            {"name": "green_box", "path": "models/green_box.ply"},
+        ],
+        "rendered_root_dir": "rendered",
+        "mode": "greedy",
+        "use_external_pose_list": 1,
+        "perch_params": {
+            "gpu_stride": 2, "gpu_batch_size": 64,
+            "sensor_resolution_radius": 0.02,
+            "min_neighbor_points_for_valid_pose": 5,
+            "icp_type": 3, "max_icp_iterations": 10,
+        },
+        "env_params": {
+            "max_points_per_pose": 512, "max_observed_points": 4096,
+            "max_points_per_label": 1024, "max_labels": 4,
+            "max_triangles_per_model": 16,
+        },
+    }
+    cfg_path = tmp_path / "scene.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+
+    out_dir = tmp_path / "out"
+    rc = cli_main(["localize", "--config", str(cfg_path),
+                   "--output", str(out_dir)])
+    assert rc == 0
+    recs = read_output_poses(str(out_dir / "output_poses.txt"))
+    names = {r["name"] for r in recs}
+    assert names == {"red_box", "green_box"}
+    assert os.path.exists(out_dir / "output_stats.txt")
+    assert os.path.exists(out_dir / "cost_dump.json")
+    # Detected translations near GT.
+    for r in recs:
+        obj = gt[0] if r["name"] == "red_box" else gt[1]
+        # location = (pose @ preprocessing) translation; preprocessing for
+        # these centred boxes has small translation, so compare loosely.
+        err = np.linalg.norm(np.asarray(r["location"])
+                             - [obj.pose.x, obj.pose.y, obj.pose.z])
+        assert err < 0.12, f"{r['name']}: {err}"
