@@ -137,6 +137,12 @@ class EnvConfig:
     max_labels: int = 32                      # max object instances per scene
     icp_downsample: int = 4                   # extra stride applied to rendered
                                               # cloud inside GICP refinement
+    # TPU performance knobs (no reference analogue).
+    roi_size: int = 0                         # strided ROI side; 0 = full frame
+    icp_mode: str = "nn"                      # "nn" (reference parity) |
+                                              # "projective" (faster, weak
+                                              # tangential constraint)
+    kernel_backend: str = "auto"              # "pallas" | "xla" | "auto"
 
     @classmethod
     def from_yaml_dict(cls, d: Mapping[str, Any]) -> "EnvConfig":

@@ -108,6 +108,174 @@ def cloud_normals(xyz: jax.Array, valid: jax.Array, k: int = 10) -> jax.Array:
     return n * jnp.where(flip == 0, 1.0, flip)
 
 
+def solve_spd_6x6(h: jax.Array, g: jax.Array) -> jax.Array:
+    """Batched 6x6 SPD solve via hand-unrolled Cholesky.
+
+    XLA's batched `linalg.solve` lowers tiny LU factorisations to a slow
+    generic path (~2 ms for 512 solves on v5e); unrolling the 6x6 Cholesky
+    into vectorised scalar ops over the batch runs on the VPU in microseconds.
+    h [N, 6, 6] SPD, g [N, 6] -> x with h x = g.
+    """
+    n = 6
+    l = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = h[:, j, j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        l[j][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        inv = 1.0 / l[j][j]
+        for i in range(j + 1, n):
+            s = h[:, i, j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            l[i][j] = s * inv
+    # Forward substitution L y = g.
+    y = [None] * n
+    for i in range(n):
+        s = g[:, i]
+        for k in range(i):
+            s = s - l[i][k] * y[k]
+        y[i] = s / l[i][i]
+    # Back substitution L^T x = y.
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l[k][i] * x[k]
+        x[i] = s / l[i][i]
+    return jnp.stack(x, axis=1)
+
+
+def crop_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
+                 centers: jax.Array, k: int) -> jax.Array:
+    """Indices [N, k] of the k target points nearest each pose centre — a
+    one-time selection that shrinks every ICP iteration's NN sweep.
+    Invalid targets sort last and stay invalid after the gather."""
+    d = jnp.sum((tgt_xyz - centers[:, None, :]) ** 2, axis=-1)
+    d = jnp.where(tgt_valid, d, jnp.inf)
+    _, idx = jax.lax.top_k(-d, k)
+    return idx
+
+
+def _gn_step(cur, q, nrm, w, converged, pp_weight=0.0, damping=1e-4):
+    """One damped Gauss-Newton update for batched registration.
+
+    Point-to-plane residuals plus a down-weighted point-to-point term: pure
+    plane residuals leave in-plane directions unconstrained on flat scenes,
+    and the resulting near-singular normal equations produce wild tangential
+    steps (fast_gicp's full mahalanobis distribution-to-distribution cost
+    has the same stabilising effect). Damping is scaled to diag(H)
+    (Levenberg-Marquardt style). No step clamping: clamped partial steps
+    re-trigger the same descent direction every iteration and turn GN's
+    benign overshoot-and-return oscillation into a monotone runaway
+    (observed experimentally on flat synthetic scenes).
+
+    Returns (xi [N,6], count [N], e_plane [N,P], ok [N]).
+    """
+    e = jnp.sum(nrm * (cur - q), axis=-1)                   # [N, P]
+    j_rot = jnp.cross(cur, nrm)                             # [N, P, 3]
+    jac = jnp.concatenate([j_rot, nrm], axis=-1)            # [N, P, 6]
+    jw = jac * w[..., None]
+    # Batched matmul accumulation (MXU at f32-accurate precision) instead of
+    # a [N, P, 6, 6] elementwise+reduce einsum.
+    h = jax.lax.dot_general(jw, jac, (((1,), (1,)), ((0,), (0,))),
+                            precision=jax.lax.Precision.HIGHEST)
+    g = -jnp.einsum("npi,np->ni", jw, e)
+
+    if pp_weight > 0:
+        # Point-to-point: r = cur - q, dr/domega = -[cur]x, dr/du = I.
+        r = cur - q                                         # [N, P, 3]
+        cx = _hat(cur)                                      # [N, P, 3, 3]
+        j_pp = jnp.concatenate(
+            [-cx, jnp.broadcast_to(jnp.eye(3), cx.shape)], axis=-1)  # [N,P,3,6]
+        h = h + pp_weight * jnp.einsum("npki,npkj,np->nij", j_pp, j_pp, w)
+        g = g - pp_weight * jnp.einsum("npki,npk,np->ni", j_pp, r, w)
+
+    count = w.sum(axis=1)
+    ok = count >= 6
+    diag = jnp.diagonal(h, axis1=1, axis2=2)
+    h = h + (damping * diag.mean(axis=1)[:, None, None] + 1e-9) * jnp.eye(6)
+    h = jnp.where(ok[:, None, None], h, jnp.eye(6))
+    xi = solve_spd_6x6(h, g)
+    xi = jnp.where((ok & ~converged)[:, None], xi, 0.0)
+    return xi, count, e, ok
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_iterations", "width", "height", "stride", "use_labels"))
+def icp_projective_batch(
+    src_xyz: jax.Array,      # [N, P, 3] rendered cloud per pose (camera, m)
+    src_valid: jax.Array,    # [N, P]
+    obs_xyz: jax.Array,      # [Npix, 3] organised observed map (strided grid)
+    obs_normals: jax.Array,  # [Npix, 3]
+    obs_valid: jax.Array,    # [Npix]
+    obs_label: jax.Array,    # [Npix] int32 0-based (-1 invalid)
+    pose_labels: jax.Array,  # [N] int32
+    *,
+    fx: float, fy: float, cx: float, cy: float,
+    width: int, height: int, stride: int,
+    max_iterations: int = 30,
+    max_correspondence: float = 0.05,
+    rotation_epsilon: float = 2e-3,
+    transformation_epsilon: float = 5e-4,
+    damping: float = 1e-4,
+    use_labels: bool = True,
+) -> "ICPResult":
+    """Point-to-plane GN with projective data association.
+
+    Correspondences come from projecting each (transformed) source point
+    into the organised observed image and reading the point/normal at that
+    pixel — the reference's own `Scene_projective` strategy
+    (cuda_icp/scene/depth_scene, used by ICP_Point2Plane) — which makes the
+    per-iteration cost O(P) gathers instead of an O(P*S) NN sweep.
+    Label gating mirrors the label-partitioned NN of the 6-DoF path.
+    """
+    n, p, _ = src_xyz.shape
+    w_s, h_s = width // stride, height // stride
+    npix = w_s * h_s
+    max_corr_sq = max_correspondence * max_correspondence
+
+    def body(carry, _):
+        delta, converged, iters = carry
+        cur = (jnp.einsum("nij,npj->npi", delta[:, :3, :3], src_xyz)
+               + delta[:, None, :3, 3])
+        z = jnp.maximum(cur[..., 2], 1e-6)
+        u = fx * cur[..., 0] / z + cx
+        v = fy * cur[..., 1] / z + cy
+        iu = jnp.clip(jnp.round(u / stride).astype(jnp.int32), 0, w_s - 1)
+        iv = jnp.clip(jnp.round(v / stride).astype(jnp.int32), 0, h_s - 1)
+        pix = iv * w_s + iu                              # [N, P]
+        q = obs_xyz[pix]                                 # [N, P, 3]
+        nrm = obs_normals[pix]
+        ok = src_valid & obs_valid[pix] & (cur[..., 2] > 1e-4)
+        if use_labels:
+            ok &= obs_label[pix] == pose_labels[:, None]
+        dist_sq = jnp.sum((cur - q) ** 2, axis=-1)
+        w = (ok & (dist_sq <= max_corr_sq)).astype(jnp.float32)
+
+        xi, count, e, okp = _gn_step(cur, q, nrm, w, converged,
+                                     pp_weight=0.1, damping=damping)
+        step = se3_exp(xi)
+        new_delta = jnp.einsum("nij,njk->nik", step, delta)
+
+        rot_small = jnp.linalg.norm(xi[:, :3], axis=1) < rotation_epsilon
+        trans_small = jnp.linalg.norm(xi[:, 3:], axis=1) < transformation_epsilon
+        newly = rot_small & trans_small
+        iters = iters + (~converged).astype(jnp.int32)
+        converged = converged | newly | ~okp
+
+        mse = jnp.sum(e * e * w, axis=1) / jnp.maximum(count, 1.0)
+        fitness = count / jnp.maximum(src_valid.sum(axis=1), 1.0)
+        return (new_delta, converged, iters), (fitness, jnp.sqrt(mse))
+
+    init = (jnp.broadcast_to(jnp.eye(4), (n, 4, 4)),
+            jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32))
+    (delta, _, iters), (fit_hist, rmse_hist) = jax.lax.scan(
+        body, init, None, length=max_iterations)
+    return ICPResult(delta=delta, fitness=fit_hist[-1], rmse=rmse_hist[-1],
+                     iterations=iters)
+
+
 class ICPResult(NamedTuple):
     delta: jax.Array       # [N, 4, 4] camera-frame correction (pose' = delta @ pose)
     fitness: jax.Array     # [N] inlier fraction at convergence
@@ -115,7 +283,8 @@ class ICPResult(NamedTuple):
     iterations: jax.Array  # [N] int32 iterations until convergence
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations", "ref_tile"))
+@functools.partial(jax.jit, static_argnames=("max_iterations", "ref_tile",
+                                             "crop_k", "backend"))
 def icp_point_to_plane_batch(
     src_xyz: jax.Array,      # [N, P, 3] rendered cloud per pose (camera frame, m)
     src_valid: jax.Array,    # [N, P]
@@ -127,38 +296,47 @@ def icp_point_to_plane_batch(
     max_correspondence: float = 0.05,   # m (PERCHParams icp_max_correspondence)
     rotation_epsilon: float = 2e-3,
     transformation_epsilon: float = 5e-4,
-    damping: float = 1e-6,
+    damping: float = 1e-4,
     ref_tile: int = 512,
+    crop_k: int = 0,
+    backend: str = "xla",
 ) -> ICPResult:
-    """Refine all poses against their observed segments simultaneously."""
+    """Refine all poses against their observed segments simultaneously.
+
+    crop_k > 0 shrinks each pose's target set once to the crop_k points
+    nearest its source centroid (covers the object + max_correspondence
+    margin), cutting every iteration's NN sweep proportionally.
+    """
     from perception_tpu.ops.knn import nn1_batch
 
     n, p, _ = src_xyz.shape
     max_corr_sq = max_correspondence * max_correspondence
 
+    if crop_k and crop_k < tgt_xyz.shape[1]:
+        centers = (jnp.sum(src_xyz * src_valid[..., None], axis=1)
+                   / jnp.maximum(src_valid.sum(axis=1), 1)[:, None])
+        idx = crop_targets(tgt_xyz, tgt_valid, centers, crop_k)
+        tgt_xyz = jnp.take_along_axis(tgt_xyz, idx[..., None], axis=1)
+        tgt_normals = jnp.take_along_axis(tgt_normals, idx[..., None], axis=1)
+        tgt_valid = jnp.take_along_axis(tgt_valid, idx, axis=1)
+
+    def nn_fn(q, qv, r, rv):
+        if backend == "pallas":
+            from perception_tpu.ops.pallas_knn import nn1_batch_pallas
+
+            return nn1_batch_pallas(q, qv, r, rv)
+        return nn1_batch(q, qv, r, rv, ref_tile=ref_tile)
+
     def body(carry, _):
         delta, converged, iters = carry
         cur = jnp.einsum("nij,npj->npi", delta[:, :3, :3], src_xyz) + delta[:, None, :3, 3]
-        dist_sq, idx = nn1_batch(cur, src_valid, tgt_xyz, tgt_valid,
-                                 ref_tile=ref_tile)
+        dist_sq, idx = nn_fn(cur, src_valid, tgt_xyz, tgt_valid)
         q = jnp.take_along_axis(tgt_xyz, idx[..., None], axis=1)
         nrm = jnp.take_along_axis(tgt_normals, idx[..., None], axis=1)
         w = (src_valid & (dist_sq <= max_corr_sq)).astype(jnp.float32)
 
-        e = jnp.sum(nrm * (cur - q), axis=-1)                   # [N, P]
-        j_rot = jnp.cross(cur, nrm)                             # [N, P, 3]
-        jac = jnp.concatenate([j_rot, nrm], axis=-1)            # [N, P, 6]
-
-        h = jnp.einsum("npi,npj,np->nij", jac, jac, w)
-        g = -jnp.einsum("npi,np,np->ni", jac, e, w)
-        h = h + damping * jnp.eye(6)
-        # Guard singular systems (no inliers): solve against identity-ish.
-        count = w.sum(axis=1)
-        ok = count >= 6
-        h = jnp.where(ok[:, None, None], h, jnp.eye(6))
-        xi = jnp.linalg.solve(h, g[..., None])[..., 0]
-        xi = jnp.where((ok & ~converged)[:, None], xi, 0.0)
-
+        xi, count, e, ok = _gn_step(cur, q, nrm, w, converged,
+                                    pp_weight=0.0, damping=damping)
         step = se3_exp(xi)
         new_delta = jnp.einsum("nij,njk->nik", step, delta)
 

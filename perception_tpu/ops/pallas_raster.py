@@ -1,0 +1,147 @@
+"""Pallas TPU kernel for the batched rasteriser's hot loop.
+
+The XLA `lax.scan` formulation in rasterizer.py materialises per-tile
+[N*Npix, tile] intermediates in HBM, making rendering bandwidth-bound.
+This kernel fuses the affine functional evaluation, coverage test, depth
+interpolation and packed (depth, tri-id) min entirely in VMEM: HBM traffic
+drops to the per-pose coefficient table in and one packed key per pixel out.
+
+Layout choices (v5e VPU is 8x128):
+  * triangles on sublanes, pixels on lanes — coefficient slices broadcast
+    as [TT, 1] against pixel rows [1, TILE_PIX];
+  * per-triangle data packed as [T, 12] rows:
+    (bx, by, bc, gx, gy, gc, wx, wy, wc, abs_base, zmin, zmax), with
+    abs_base = -inf encoding culled triangles;
+  * pixel coordinates derived in-kernel from the flat pixel index (strided
+    sample grid), so the only input is the coefficient table.
+
+Grid: one pose per step; the kernel loops pixel tiles x triangle chunks
+with a running packed min per tile (all in VMEM/registers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from perception_tpu.ops.rasterizer import _INVALID_KEY, _MAX_DEPTH, TRI_ID_BITS
+
+TILE_PIX = 512
+TRI_CHUNK = 256
+
+
+def _raster_kernel(anchor_ref, coef_ref, out_ref, *, width, height, stride,
+                   n_chunks, n_tiles, tri_chunk, roi_w, tile_pix):
+    """anchor_ref [N, 2] int32 (SMEM, scalar-prefetched strided ROI origin);
+    coef_ref [1, T, 12] f32; out_ref [1, n_tiles, tile_pix] int32."""
+    pose = pl.program_id(0)
+    x0 = anchor_ref[pose, 0]
+    y0 = anchor_ref[pose, 1]
+
+    def tile_body(j, _):
+        flat = j * tile_pix + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile_pix), 1)
+        # Written pixel (x_w, y_w) -> screen P = (x_w, H-1-y_w).
+        px = ((x0 + flat % roi_w) * stride).astype(jnp.float32)
+        py = (height - 1 - (y0 + flat // roi_w) * stride).astype(jnp.float32)
+
+        def chunk_body(k, best):
+            c = coef_ref[0, pl.ds(k * tri_chunk, tri_chunk), :]  # [TT, 12]
+            beta = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
+            gamma = c[:, 3:4] * px + c[:, 4:5] * py + c[:, 5:6]
+            w = c[:, 6:7] * px + c[:, 7:8] * py + c[:, 8:9]
+            alpha = c[:, 9:10] - beta - gamma
+            covered = ((alpha >= 0.0) & (beta >= 0.0) & (gamma >= 0.0)
+                       & (w > 1e-9))
+            depth = 1.0 / jnp.where(covered, w, 1.0)
+            depth = jnp.round(jnp.clip(depth, c[:, 10:11], c[:, 11:12]))
+            depth_i = jnp.clip(depth, 1.0, float(_MAX_DEPTH)).astype(jnp.int32)
+            ids = (k * tri_chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (tri_chunk, tile_pix), 0))
+            keys = jnp.where(covered, (depth_i << TRI_ID_BITS) | ids,
+                             jnp.int32(_INVALID_KEY))
+            return jnp.minimum(best, keys.min(axis=0, keepdims=True))
+
+        init = jnp.full((1, tile_pix), _INVALID_KEY, dtype=jnp.int32)
+        keys = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        out_ref[0, j, :] = keys[0, :]
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "stride",
+                                             "roi_shape", "interpret"))
+def rasterize_keys_pallas(
+    coefs: jax.Array,   # [N, T, 12] packed per-triangle rows
+    *,
+    width: int,
+    height: int,
+    stride: int,
+    anchors: jax.Array | None = None,   # [N, 2] int32 strided ROI origin
+    roi_shape: tuple[int, int] | None = None,  # (roi_h, roi_w) strided
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed (depth << TRI_ID_BITS | tri_id) keys [N, Npix] (unpadded).
+
+    With anchors/roi_shape, each pose rasterises only its
+    roi_h x roi_w strided window (origin anchors[i], strided coords) —
+    the per-pose region-of-interest optimisation (the reference carries an
+    unused ROI through its kernels, image_renderer.cuh Model::ROI; here it
+    is the primary work-reduction lever).
+    """
+    n, t, _ = coefs.shape
+    tri_chunk = min(TRI_CHUNK, t)
+    if t % tri_chunk:
+        pad = tri_chunk - t % tri_chunk
+        fill = jnp.zeros((n, pad, 12), coefs.dtype).at[:, :, 9].set(-jnp.inf)
+        coefs = jnp.concatenate([coefs, fill], axis=1)
+        t += pad
+    n_chunks = t // tri_chunk
+
+    if roi_shape is None:
+        roi_h, roi_w = height // stride, width // stride
+        anchors = jnp.zeros((n, 2), jnp.int32)
+    else:
+        roi_h, roi_w = roi_shape
+        assert anchors is not None
+    npix = roi_h * roi_w
+    tile_pix = min(TILE_PIX, max(128, npix))
+    n_tiles = (npix + tile_pix - 1) // tile_pix
+
+    kernel = functools.partial(
+        _raster_kernel, width=width, height=height, stride=stride,
+        n_chunks=n_chunks, n_tiles=n_tiles, tri_chunk=tri_chunk, roi_w=roi_w,
+        tile_pix=tile_pix)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, t, 12), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n_tiles, tile_pix), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles, tile_pix), jnp.int32),
+        interpret=interpret,
+    )(anchors.astype(jnp.int32), coefs)
+    return out.reshape(n, n_tiles * tile_pix)[:, :npix]
+
+
+def pack_coefficients(coefs: jax.Array, aux: jax.Array,
+                      ok: jax.Array) -> jax.Array:
+    """(coefs [.., T, 3, 3], aux [.., T, 3], ok [.., T]) -> packed [.., T, 12].
+
+    Invalid triangles get abs_base = -inf so coverage always fails.
+    """
+    flat = coefs.reshape(*coefs.shape[:-2], 9)
+    abs_base = jnp.where(ok, aux[..., 0], -jnp.inf)[..., None]
+    return jnp.concatenate(
+        [flat, abs_base, aux[..., 1:2], aux[..., 2:3]], axis=-1)

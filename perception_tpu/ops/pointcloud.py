@@ -87,6 +87,47 @@ def depth_to_cloud_batch(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "stride",
+                                             "depth_factor"))
+def depth_to_cloud_roi(
+    depth: jax.Array,    # [N, rh, rw] int32 (render units)
+    color: jax.Array,    # [N, rh, rw, 3] float32
+    anchors: jax.Array,  # [N, 2] int32 strided ROI origin (x0, y0)
+    *,
+    fx: float, fy: float, cx: float, cy: float,
+    width: int, height: int, stride: int,
+    depth_factor: float = 100.0,
+) -> CloudBatch:
+    """ROI depth windows -> point clouds with NO compaction.
+
+    The ROI already bounds the point count (rh*rw), so the argsort-based
+    compaction of `depth_to_cloud_batch` is unnecessary — every window pixel
+    becomes a (possibly invalid) point in place. Downstream ops are fully
+    masked, so the only cost of the empties is the fixed capacity.
+    """
+    n, rh, rw = depth.shape
+    npix = rh * rw
+    lx = jnp.tile(jnp.arange(rw), rh)
+    ly = jnp.repeat(jnp.arange(rh), rw)
+    px = (anchors[:, 0:1] + lx[None, :]).astype(jnp.float32) * stride  # [N, Npix]
+    py = (anchors[:, 1:2] + ly[None, :]).astype(jnp.float32) * stride
+
+    d = depth.reshape(n, npix).astype(jnp.float32)
+    valid = d > 0
+    z = d / depth_factor
+    x = (px - cx) / fx * z
+    y = (py - cy) / fy * z
+    xyz = jnp.where(valid[..., None], jnp.stack([x, y, z], axis=-1), 0.0)
+    rgb = jnp.where(valid[..., None], color.reshape(n, npix, 3), 0.0)
+    w_s = width // stride
+    global_pix = ((anchors[:, 1:2] + ly[None, :]) * w_s
+                  + anchors[:, 0:1] + lx[None, :])
+    return CloudBatch(
+        xyz=xyz, rgb=rgb, valid=valid,
+        count=valid.sum(axis=1).astype(jnp.int32),
+        pixel=jnp.where(valid, global_pix, -1).astype(jnp.int32))
+
+
 class ObservedCloud(NamedTuple):
     """Observed scene cloud, flat + label-partitioned layouts.
 
@@ -102,6 +143,7 @@ class ObservedCloud(NamedTuple):
     label: jax.Array       # [O] int32 0-based (-1 invalid)
     valid: jax.Array       # [O] bool
     count: jax.Array       # [] int32
+    pixel: jax.Array       # [O] int32 strided-grid pixel index (-1 invalid)
     seg_xyz: jax.Array     # [L, S, 3]
     seg_rgb: jax.Array     # [L, S, 3]
     seg_valid: jax.Array   # [L, S] bool
@@ -168,6 +210,7 @@ def observed_cloud_from_depth(
     sel_xyz = jnp.where(sel_valid[:, None], xyz[order], 0.0)
     sel_rgb = jnp.where(sel_valid[:, None], rgb[order], 0.0)
     sel_lab = jnp.where(sel_valid, lab[order] - 1, -1)
+    sel_pix = jnp.where(sel_valid, order, -1).astype(jnp.int32)
 
     # Label partition: for each label l, the first seg_cap points with that
     # label, in order.
@@ -186,5 +229,6 @@ def observed_cloud_from_depth(
     return ObservedCloud(
         xyz=sel_xyz, rgb=sel_rgb, label=sel_lab.astype(jnp.int32),
         valid=sel_valid, count=sel_valid.sum().astype(jnp.int32),
+        pixel=sel_pix,
         seg_xyz=seg_xyz, seg_rgb=seg_rgb, seg_valid=seg_valid,
         seg_count=seg_count)

@@ -51,6 +51,8 @@ class RenderOutput(NamedTuple):
     color: jax.Array          # [N, h, w, 3] float32 0..255
     pose_occluded: jax.Array  # [N] int32: render occludes observed scene
     tri_id: jax.Array         # [N, h, w] int32 winning triangle (-1 = empty)
+    anchors: jax.Array        # [N, 2] int32 strided ROI origin (x0, y0);
+                              # zeros in full-frame mode
 
 
 def screen_vertices(tri_v_cam_cm: jax.Array, proj: jax.Array,
@@ -149,6 +151,13 @@ def _pixel_matrix(width: int, height: int, stride: int) -> np.ndarray:
     return np.stack([px, py, ones], axis=1)  # [Npix, 3]
 
 
+def _roi_pixel_matrix(roi_h: int, roi_w: int) -> np.ndarray:
+    """Local strided (x, y) offsets of an ROI window, row-major [Npix, 2]."""
+    xs = np.tile(np.arange(roi_w), roi_h)
+    ys = np.repeat(np.arange(roi_h), roi_w)
+    return np.stack([xs, ys], axis=1).astype(np.int32)
+
+
 def _rasterize_keys(coefs: jax.Array, aux: jax.Array, ok: jax.Array,
                     pix: jax.Array, tile: int) -> jax.Array:
     """Packed (depth, tri-id) min over triangles for one pose.
@@ -197,10 +206,51 @@ def _rasterize_keys(coefs: jax.Array, aux: jax.Array, ok: jax.Array,
     return keys
 
 
+def compute_roi_anchors(pose_mats: jax.Array, proj: jax.Array,
+                        width: int, height: int, stride: int,
+                        roi_shape: tuple[int, int],
+                        model_centers: jax.Array | None = None) -> jax.Array:
+    """Strided ROI origins [N, 2] (x0, y0) centred on each pose's projected
+    object centre, clamped inside the image.
+
+    model_centers [N, 3]: bbox centre in the model frame (3-DoF preprocessing
+    puts the origin at the object's base, so projecting the origin would
+    mis-centre the window).
+    """
+    roi_h, roi_w = roi_shape
+    w_s, h_s = width // stride, height // stride
+    if model_centers is not None:
+        centers = (jnp.einsum("nij,nj->ni", pose_mats[:, :3, :3], model_centers)
+                   + pose_mats[:, :3, 3]) * 100.0
+    else:
+        centers = pose_mats[:, :3, 3] * 100.0  # cm, camera frame
+    z = jnp.maximum(centers[:, 2], 1e-3)
+    clip_x = (centers[:, 0] * proj[0, 0] + centers[:, 1] * proj[0, 1]
+              + centers[:, 2] * proj[0, 2] + proj[0, 3])
+    clip_y = centers[:, 1] * proj[1, 1] + centers[:, 2] * proj[1, 2] + proj[1, 3]
+    sx = clip_x / z * (width / 2.0) + width / 2.0       # screen x = written x
+    sy = clip_y / z * (height / 2.0) + height / 2.0
+    x_img = sx
+    y_img = (height - 1) - sy                            # written-pixel y
+    x0 = jnp.round(x_img / stride).astype(jnp.int32) - roi_w // 2
+    y0 = jnp.round(y_img / stride).astype(jnp.int32) - roi_h // 2
+    x0 = jnp.clip(x0, 0, max(w_s - roi_w, 0))
+    y0 = jnp.clip(y0, 0, max(h_s - roi_h, 0))
+    return jnp.stack([x0, y0], axis=1)
+
+
+def default_backend() -> str:
+    """'pallas' on TPU, 'xla' elsewhere (CPU pallas would interpret slowly)."""
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "stride", "tile",
-                     "use_segmentation_label"),
+                     "use_segmentation_label", "backend", "roi_shape"),
 )
 def render_pose_batch(
     bank_tri_verts: jax.Array,    # [M, T, 3, 3] float32 model frame (m)
@@ -219,6 +269,8 @@ def render_pose_batch(
     occlusion_threshold: float = 1.0,        # cm
     use_segmentation_label: bool = False,
     tile: int = 256,
+    backend: str = "auto",                   # "pallas" | "xla" | "auto"
+    roi_shape: tuple[int, int] | None = None,  # (roi_h, roi_w) strided window
 ) -> RenderOutput:
     """Render N candidate poses as strided depth+color images with occlusion.
 
@@ -227,24 +279,66 @@ def render_pose_batch(
     matrices are in metres — the cm scaling the reference bakes into
     `mat4x4::init_from_eigen(pose, 100)` happens here at the camera-transform
     stage instead.
+
+    With roi_shape, each pose renders only a per-pose window centred on its
+    projected origin; outputs are [N, roi_h, roi_w] and `anchors` gives each
+    window's strided origin.
     """
     h_s, w_s = height // stride, width // stride
     n_poses = pose_mats.shape[0]
-    pix = jnp.asarray(_pixel_matrix(width, height, stride))
 
     tri_v = bank_tri_verts[pose_model_ids]      # [N, T, 3, 3]
     tri_ok = bank_tri_valid[pose_model_ids]     # [N, T]
 
-    def render_one(tv, ok, pose):
+    if backend == "auto":
+        backend = default_backend()
+
+    if roi_shape is not None:
+        out_h, out_w = roi_shape
+        # Per-model bbox centres from the (masked) triangle verts.
+        counts = jnp.maximum(bank_tri_valid.sum(axis=1), 1)[:, None]
+        centers_m = (
+            (bank_tri_verts * bank_tri_valid[..., None, None]).sum(axis=(1, 2))
+            / (3.0 * counts))
+        anchors = compute_roi_anchors(
+            pose_mats, proj, width, height, stride, roi_shape,
+            model_centers=centers_m[pose_model_ids])
+    else:
+        out_h, out_w = h_s, w_s
+        anchors = jnp.zeros((n_poses, 2), jnp.int32)
+
+    def setup_one(tv, ok, pose):
         rot = pose[:3, :3]
         t = pose[:3, 3]
         v_cam = jnp.einsum("ij,tvj->tvi", rot, tv) + t
         v_cam = v_cam * 100.0  # m -> cm render units
         pts2, z = screen_vertices(v_cam, proj, width, height)
-        coefs, aux, cok = triangle_coefficients(pts2, z, ok)
-        return _rasterize_keys(coefs, aux, cok, pix, tile)
+        return triangle_coefficients(pts2, z, ok)
 
-    keys = jax.vmap(render_one)(tri_v, tri_ok, pose_mats)  # [N, Npix]
+    if backend == "pallas":
+        from perception_tpu.ops.pallas_raster import (
+            pack_coefficients,
+            rasterize_keys_pallas,
+        )
+
+        coefs, aux, cok = jax.vmap(setup_one)(tri_v, tri_ok, pose_mats)
+        packed = pack_coefficients(coefs, aux, cok)
+        keys = rasterize_keys_pallas(
+            packed, width=width, height=height, stride=stride,
+            anchors=anchors, roi_shape=roi_shape)
+    else:
+        base_pix = jnp.asarray(_roi_pixel_matrix(out_h, out_w))
+
+        def render_one(tv, ok, pose, anchor):
+            coefs, aux, cok = setup_one(pose=pose, tv=tv, ok=ok)
+            px = (anchor[0] + base_pix[:, 0]) * stride
+            py = (height - 1) - (anchor[1] + base_pix[:, 1]) * stride
+            pix = jnp.stack(
+                [px.astype(jnp.float32), py.astype(jnp.float32),
+                 jnp.ones_like(px, jnp.float32)], axis=1)
+            return _rasterize_keys(coefs, aux, cok, pix, tile)
+
+        keys = jax.vmap(render_one)(tri_v, tri_ok, pose_mats, anchors)
 
     empty = keys == _INVALID_KEY
     depth = jnp.where(empty, 0, keys >> TRI_ID_BITS).astype(jnp.int32)
@@ -256,11 +350,23 @@ def render_pose_batch(
 
     pose_occluded = jnp.zeros((n_poses,), dtype=jnp.int32)
     if source_depth is not None:
-        src = source_depth.reshape(-1)[None, :].astype(jnp.int32)
+        if roi_shape is not None:
+            src2d = jax.vmap(
+                lambda a: jax.lax.dynamic_slice(
+                    source_depth, (a[1], a[0]), roi_shape))(anchors)
+            src = src2d.reshape(n_poses, -1).astype(jnp.int32)
+            if use_segmentation_label:
+                slab2d = jax.vmap(
+                    lambda a: jax.lax.dynamic_slice(
+                        source_label, (a[1], a[0]), roi_shape))(anchors)
+                slab = slab2d.reshape(n_poses, -1).astype(jnp.int32)
+        else:
+            src = source_depth.reshape(-1)[None, :].astype(jnp.int32)
+            if use_segmentation_label:
+                slab = source_label.reshape(-1)[None, :].astype(jnp.int32)
         d = depth.astype(jnp.int32)
         diff = jnp.abs(d - src).astype(jnp.float32)
         if use_segmentation_label:
-            slab = source_label.reshape(-1)[None, :].astype(jnp.int32)
             plab = pose_labels[:, None].astype(jnp.int32)
             mismatch = (plab != slab - 1) & (diff > 0.5)
         else:
@@ -277,10 +383,11 @@ def render_pose_batch(
         color = jnp.where(removed[..., None], 0.0, color)
 
     return RenderOutput(
-        depth=depth.reshape(n_poses, h_s, w_s),
-        color=color.reshape(n_poses, h_s, w_s, 3),
+        depth=depth.reshape(n_poses, out_h, out_w),
+        color=color.reshape(n_poses, out_h, out_w, 3),
         pose_occluded=pose_occluded,
-        tri_id=tri_id.reshape(n_poses, h_s, w_s),
+        tri_id=tri_id.reshape(n_poses, out_h, out_w),
+        anchors=anchors,
     )
 
 

@@ -44,8 +44,7 @@ def pad_to_multiple(n: int, m: int) -> int:
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def _sharded_call(bank_tri_verts, bank_tri_colors, bank_tri_valid,
                   poses, model_ids, pose_labels, observed_total,
-                  proj, source_depth, source_label,
-                  seg_xyz, seg_rgb, seg_valid, seg_normals,
+                  proj, scene,
                   cfg: ScorerConfig, mesh: Mesh) -> PoseScores:
     pose_sharded = NamedSharding(mesh, P("pose"))
     replicated = NamedSharding(mesh, P())
@@ -60,8 +59,7 @@ def _sharded_call(bank_tri_verts, bank_tri_colors, bank_tri_valid,
         repl(bank_tri_verts), repl(bank_tri_colors), repl(bank_tri_valid),
         shard(poses), shard(model_ids), shard(pose_labels),
         shard(observed_total),
-        repl(proj), repl(source_depth), repl(source_label),
-        repl(seg_xyz), repl(seg_rgb), repl(seg_valid), repl(seg_normals),
+        repl(proj), jax.tree_util.tree_map(repl, scene),
         cfg)
     # Gather the per-pose scalars so the host argmin sees one replicated
     # vector (cheap: N scalars over ICI).
@@ -72,8 +70,7 @@ def score_pose_batch_multichip(
     mesh: Mesh,
     bank_tri_verts, bank_tri_colors, bank_tri_valid,
     poses, model_ids, pose_labels, observed_total,
-    proj, source_depth, source_label,
-    seg_xyz, seg_rgb, seg_valid, seg_normals,
+    proj, scene,
     cfg: ScorerConfig,
 ) -> PoseScores:
     """Pose-sharded scoring. Pads the pose axis to a multiple of the mesh
@@ -96,9 +93,7 @@ def score_pose_batch_multichip(
             bank_tri_verts, bank_tri_colors, bank_tri_valid,
             pad(jnp.asarray(poses)), pad(jnp.asarray(model_ids)),
             pad(jnp.asarray(pose_labels)), pad(jnp.asarray(observed_total)),
-            jnp.asarray(proj), jnp.asarray(source_depth),
-            jnp.asarray(source_label),
-            jnp.asarray(seg_xyz), jnp.asarray(seg_rgb),
-            jnp.asarray(seg_valid), jnp.asarray(seg_normals),
+            jnp.asarray(proj),
+            jax.tree_util.tree_map(jnp.asarray, scene),
             cfg, mesh)
     return PoseScores(*[x[:n] for x in scores])

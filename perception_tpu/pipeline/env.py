@@ -39,7 +39,12 @@ from perception_tpu.ops.cost import (
 )
 from perception_tpu.ops.icp import cloud_normals
 from perception_tpu.ops.pointcloud import observed_cloud_from_depth
-from perception_tpu.pipeline.scorer import PoseScores, ScorerConfig, score_pose_batch
+from perception_tpu.pipeline.scorer import (
+    ObservedScene,
+    PoseScores,
+    ScorerConfig,
+    score_pose_batch,
+)
 from perception_tpu.utils.stats import EnvStats
 
 
@@ -156,6 +161,34 @@ class PerceptionEnv:
         self._source_depth = jnp.asarray(src.astype(np.int32))
         self._source_label = jnp.asarray(
             label[::stride, ::stride].astype(np.int32))
+
+        # Organised observed maps (strided grid) for projective ICP
+        # association (the reference's Scene_projective strategy).
+        h_s, w_s = src.shape
+        npix = h_s * w_s
+        obs = self._observed
+        pix_idx = np.asarray(obs.pixel)
+        valid_pts = np.asarray(obs.valid)
+        map_xyz = np.zeros((npix, 3), np.float32)
+        map_normals = np.zeros((npix, 3), np.float32)
+        map_valid = np.zeros((npix,), bool)
+        map_label = np.full((npix,), -1, np.int32)
+        sel = pix_idx[valid_pts]
+        map_xyz[sel] = np.asarray(obs.xyz)[valid_pts]
+        map_label[sel] = np.asarray(obs.label)[valid_pts]
+        map_valid[sel] = True
+        whole_normals = np.asarray(cloud_normals(
+            obs.xyz[None], obs.valid[None], k=10))[0]
+        map_normals[sel] = whole_normals[valid_pts]
+        self._scene = ObservedScene(
+            seg_xyz=obs.seg_xyz, seg_rgb=obs.seg_rgb,
+            seg_valid=obs.seg_valid, seg_normals=self._seg_normals,
+            map_xyz=jnp.asarray(map_xyz),
+            map_normals=jnp.asarray(map_normals),
+            map_valid=jnp.asarray(map_valid),
+            map_label=jnp.asarray(map_label),
+            source_depth=self._source_depth,
+            source_label=self._source_label)
 
         # Host-side world-frame KD-trees for validity checks
         # (SetObservation's knn / segmented_object_knn, search_env.cpp:5542+).
@@ -323,6 +356,10 @@ class PerceptionEnv:
             cost_type = COST_TYPE_3DOF_DEPTH
         if do_icp is None:
             do_icp = perch.icp_type == 3
+        roi = None
+        if env.roi_size:
+            roi = (min(env.roi_size, cam.height // int(perch.gpu_stride)),
+                   min(env.roi_size, cam.width // int(perch.gpu_stride)))
         return ScorerConfig(
             width=cam.width, height=cam.height, stride=int(perch.gpu_stride),
             fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
@@ -333,10 +370,13 @@ class PerceptionEnv:
             occlusion_threshold=perch.gpu_occlusion_threshold,
             use_segmentation_label=six_dof,
             do_icp=do_icp,
+            icp_mode=env.icp_mode,
             icp_max_iterations=min(perch.max_icp_iterations, 60),
             icp_max_correspondence=perch.icp_max_correspondence,
             icp_downsample=env.icp_downsample,
             depth_factor=env.gpu_depth_factor,
+            roi_shape=roi,
+            backend=env.kernel_backend,
         )
 
     def score_object_states(
@@ -369,9 +409,7 @@ class PerceptionEnv:
                 self._bank_tri_valid,
                 jnp.asarray(poses.astype(np.float32)), jnp.asarray(ids),
                 jnp.asarray(labels), jnp.asarray(observed_total),
-                self._proj, self._source_depth, self._source_label,
-                obs.seg_xyz, obs.seg_rgb, obs.seg_valid, self._seg_normals,
-                cfg)
+                self._proj, self._scene, cfg)
             total = np.asarray(scores.total_cost)
             rendered = np.asarray(scores.rendered_cost)
             observed = np.asarray(scores.observed_cost)

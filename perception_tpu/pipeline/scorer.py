@@ -4,7 +4,7 @@ One jitted, shardable program equal to the reference's
 `render_cuda_multi_unified` COST stage (cuda_renderer/src/cuda/renderer.cu:
 1431-1934):
 
-    render -> depth->cloud -> [GICP refine -> re-render -> re-cloud]
+    render -> depth->cloud -> [ICP refine -> re-render -> re-cloud]
            -> 1-NN -> costs
 
 All stages operate on the full pose batch with static shapes; the host never
@@ -12,6 +12,15 @@ sees intermediates (the reference crosses the device boundary twice per
 batch; here the only outputs are per-pose scalars and adjusted pose
 matrices). The pose axis is the natural sharding axis for multi-chip
 execution (see perception_tpu.parallel).
+
+Performance modes (all semantically equivalent where they overlap):
+  * roi_shape: render/unproject only a per-pose window around the projected
+    object instead of the full strided frame (~5x less raster/cloud work,
+    and removes the cloud-compaction argsort entirely);
+  * icp_mode="projective": reference-style Scene_projective data
+    association (O(P) gathers per iteration) instead of per-iteration
+    brute-force NN;
+  * backend="pallas": fused VMEM kernels for rasterisation and 1-NN.
 """
 
 from __future__ import annotations
@@ -24,10 +33,31 @@ import jax
 import jax.numpy as jnp
 
 from perception_tpu.ops.cost import COST_TYPE_6DOF, CostOutput, compute_costs
-from perception_tpu.ops.icp import icp_point_to_plane_batch
+from perception_tpu.ops.icp import icp_point_to_plane_batch, icp_projective_batch
 from perception_tpu.ops.knn import nn1_batch
-from perception_tpu.ops.pointcloud import depth_to_cloud_batch
-from perception_tpu.ops.rasterizer import render_pose_batch
+from perception_tpu.ops.pointcloud import depth_to_cloud_batch, depth_to_cloud_roi
+from perception_tpu.ops.rasterizer import default_backend, render_pose_batch
+
+
+class ObservedScene(NamedTuple):
+    """Device-resident observed-scene tensors consumed by the scorer.
+
+    Built once per frame by PerceptionEnv.set_input. `seg_*` is the
+    label-partitioned cloud (reference sorted-by-label ranges); `map_*` is
+    the organised strided-grid view used for projective ICP association;
+    `source_*` are the occlusion-comparison images.
+    """
+
+    seg_xyz: jax.Array       # [L, S, 3]
+    seg_rgb: jax.Array       # [L, S, 3]
+    seg_valid: jax.Array     # [L, S]
+    seg_normals: jax.Array   # [L, S, 3]
+    map_xyz: jax.Array       # [Npix, 3]
+    map_normals: jax.Array   # [Npix, 3]
+    map_valid: jax.Array     # [Npix]
+    map_label: jax.Array     # [Npix] int32 0-based (-1 invalid)
+    source_depth: jax.Array  # [h_s, w_s] int32 render units
+    source_label: jax.Array  # [h_s, w_s] int32 1-based
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,14 +78,18 @@ class ScorerConfig:
     occlusion_threshold: float = 1.0
     use_segmentation_label: bool = True
     do_icp: bool = True
+    icp_mode: str = "projective"    # "projective" | "nn"
     icp_max_iterations: int = 30
     icp_max_correspondence: float = 0.05
     icp_rotation_epsilon: float = 2e-3
     icp_transformation_epsilon: float = 5e-4
     icp_downsample: int = 4
+    icp_crop_targets: int = 256   # per-pose target crop for NN ICP (0 = off)
     raster_tile: int = 256
     knn_ref_tile: int = 512
     depth_factor: float = 100.0   # render depth units per metre
+    roi_shape: tuple[int, int] | None = None   # (roi_h, roi_w) strided
+    backend: str = "auto"         # kernel backend: "pallas" | "xla" | "auto"
 
 
 class PoseScores(NamedTuple):
@@ -65,28 +99,47 @@ class PoseScores(NamedTuple):
     points_diff_cost: jax.Array  # [N] float32 (last-level cost)
     adjusted_poses: jax.Array    # [N, 4, 4] post-ICP model->camera
     pose_occluded: jax.Array     # [N] int32
-    point_count: jax.Array      # [N] float32 rendered points per pose
+    point_count: jax.Array       # [N] float32 rendered points per pose
 
 
 def _render_and_cloud(bank_tri_verts, bank_tri_colors, bank_tri_valid,
-                      poses, model_ids, proj, source_depth, source_label,
+                      poses, model_ids, proj, scene: ObservedScene,
                       pose_labels, cfg: ScorerConfig):
     out = render_pose_batch(
         bank_tri_verts, bank_tri_colors, bank_tri_valid,
         poses, model_ids, proj,
         width=cfg.width, height=cfg.height, stride=cfg.stride,
-        source_depth=source_depth, source_label=source_label,
+        source_depth=scene.source_depth, source_label=scene.source_label,
         pose_labels=pose_labels,
         occlusion_threshold=cfg.occlusion_threshold,
         use_segmentation_label=cfg.use_segmentation_label,
-        tile=cfg.raster_tile)
-    cloud = depth_to_cloud_batch(
-        out.depth, out.color,
-        fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
-        width=cfg.width, height=cfg.height, stride=cfg.stride,
-        depth_factor=cfg.depth_factor,
-        max_points=cfg.max_points_per_pose)
+        tile=cfg.raster_tile, backend=cfg.backend, roi_shape=cfg.roi_shape)
+    if cfg.roi_shape is not None:
+        cloud = depth_to_cloud_roi(
+            out.depth, out.color, out.anchors,
+            fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
+            width=cfg.width, height=cfg.height, stride=cfg.stride,
+            depth_factor=cfg.depth_factor)
+    else:
+        cloud = depth_to_cloud_batch(
+            out.depth, out.color,
+            fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
+            width=cfg.width, height=cfg.height, stride=cfg.stride,
+            depth_factor=cfg.depth_factor,
+            max_points=cfg.max_points_per_pose)
     return out, cloud
+
+
+def _nn1(cloud_xyz, cloud_valid, tgt_xyz, tgt_valid, cfg: ScorerConfig):
+    backend = cfg.backend
+    if backend == "auto":
+        backend = default_backend()
+    if backend == "pallas":
+        from perception_tpu.ops.pallas_knn import nn1_batch_pallas
+
+        return nn1_batch_pallas(cloud_xyz, cloud_valid, tgt_xyz, tgt_valid)
+    return nn1_batch(cloud_xyz, cloud_valid, tgt_xyz, tgt_valid,
+                     ref_tile=cfg.knn_ref_tile)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -99,12 +152,7 @@ def score_pose_batch(
     pose_labels: jax.Array,      # [N] int32 0-based segment labels
     observed_total: jax.Array,   # [N] float32 observed points for each pose
     proj: jax.Array,             # [4, 4]
-    source_depth: jax.Array,     # [h_s, w_s] int32 cm (strided observed depth)
-    source_label: jax.Array,     # [h_s, w_s] int32 1-based labels
-    seg_xyz: jax.Array,          # [L, S, 3] observed segments
-    seg_rgb: jax.Array,          # [L, S, 3]
-    seg_valid: jax.Array,        # [L, S]
-    seg_normals: jax.Array,      # [L, S, 3] (used when do_icp)
+    scene: ObservedScene,
     cfg: ScorerConfig,
 ) -> PoseScores:
     """Render + (refine) + score one batch of candidate poses.
@@ -113,35 +161,53 @@ def score_pose_batch(
     pose_labels[i] (6-DoF; reference label-partitioned KNN). For 3-DoF
     callers pass a single segment (L=1) and zero labels.
     """
-    labels = jnp.clip(pose_labels, 0, seg_xyz.shape[0] - 1)
-    tgt_xyz = seg_xyz[labels]        # [N, S, 3]
-    tgt_rgb = seg_rgb[labels]
-    tgt_valid = seg_valid[labels]
+    labels = jnp.clip(pose_labels, 0, scene.seg_xyz.shape[0] - 1)
+    tgt_xyz = scene.seg_xyz[labels]        # [N, S, 3]
+    tgt_rgb = scene.seg_rgb[labels]
+    tgt_valid = scene.seg_valid[labels]
 
     render, cloud = _render_and_cloud(
         bank_tri_verts, bank_tri_colors, bank_tri_valid,
-        poses, model_ids, proj, source_depth, source_label, pose_labels, cfg)
+        poses, model_ids, proj, scene, pose_labels, cfg)
 
     adjusted = poses
     if cfg.do_icp:
         ds = cfg.icp_downsample
-        icp = icp_point_to_plane_batch(
-            cloud.xyz[:, ::ds], cloud.valid[:, ::ds],
-            tgt_xyz, tgt_valid, seg_normals[labels],
-            max_iterations=cfg.icp_max_iterations,
-            max_correspondence=cfg.icp_max_correspondence,
-            rotation_epsilon=cfg.icp_rotation_epsilon,
-            transformation_epsilon=cfg.icp_transformation_epsilon,
-            ref_tile=cfg.knn_ref_tile)
+        src_xyz = cloud.xyz[:, ::ds]
+        src_valid = cloud.valid[:, ::ds]
+        if cfg.icp_mode == "projective":
+            icp = icp_projective_batch(
+                src_xyz, src_valid,
+                scene.map_xyz, scene.map_normals, scene.map_valid,
+                scene.map_label, labels,
+                fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
+                width=cfg.width, height=cfg.height, stride=cfg.stride,
+                max_iterations=cfg.icp_max_iterations,
+                max_correspondence=cfg.icp_max_correspondence,
+                rotation_epsilon=cfg.icp_rotation_epsilon,
+                transformation_epsilon=cfg.icp_transformation_epsilon,
+                use_labels=cfg.use_segmentation_label)
+        else:
+            backend = cfg.backend
+            if backend == "auto":
+                backend = default_backend()
+            icp = icp_point_to_plane_batch(
+                src_xyz, src_valid,
+                tgt_xyz, tgt_valid, scene.seg_normals[labels],
+                max_iterations=cfg.icp_max_iterations,
+                max_correspondence=cfg.icp_max_correspondence,
+                rotation_epsilon=cfg.icp_rotation_epsilon,
+                transformation_epsilon=cfg.icp_transformation_epsilon,
+                ref_tile=cfg.knn_ref_tile,
+                crop_k=cfg.icp_crop_targets,
+                backend=backend)
         adjusted = jnp.einsum("nij,njk->nik", icp.delta, poses)
         # Re-render and re-cloud at the refined poses (renderer.cu:1740-1817).
         render, cloud = _render_and_cloud(
             bank_tri_verts, bank_tri_colors, bank_tri_valid,
-            adjusted, model_ids, proj, source_depth, source_label,
-            pose_labels, cfg)
+            adjusted, model_ids, proj, scene, pose_labels, cfg)
 
-    dist_sq, idx = nn1_batch(cloud.xyz, cloud.valid, tgt_xyz, tgt_valid,
-                             ref_tile=cfg.knn_ref_tile)
+    dist_sq, idx = _nn1(cloud.xyz, cloud.valid, tgt_xyz, tgt_valid, cfg)
     costs: CostOutput = compute_costs(
         dist_sq, idx, cloud.valid, render.pose_occluded,
         cloud.rgb, tgt_rgb, observed_total,

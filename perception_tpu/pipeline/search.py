@@ -82,13 +82,15 @@ class TreeSearch:
         import jax.numpy as jnp
 
         env = self.env
-        saved = (env._source_depth, env._source_label)
+        saved = (env._source_depth, env._source_label, env._scene)
         env._source_depth = jnp.asarray(source_depth)
         env._source_label = jnp.asarray(source_label)
+        env._scene = env._scene._replace(
+            source_depth=env._source_depth, source_label=env._source_label)
         try:
             return env.score_object_states(states, do_icp=False)
         finally:
-            env._source_depth, env._source_label = saved
+            env._source_depth, env._source_label, env._scene = saved
 
     def _compose(self, node: _Node, obj: ObjectState):
         """Render obj and merge into the node's composed source images."""

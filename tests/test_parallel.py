@@ -44,8 +44,7 @@ def test_sharded_scores_match_single_device():
     scores = score_pose_batch_multichip(
         mesh, env._bank_tri_verts, env._bank_tri_colors, env._bank_tri_valid,
         poses, ids, labels, totals,
-        env._proj, env._source_depth, env._source_label,
-        obs.seg_xyz, obs.seg_rgb, obs.seg_valid, env._seg_normals, cfg)
+        env._proj, env._scene, cfg)
 
     got = np.asarray(scores.total_cost)
     want = np.asarray([s.cost for s in ref])

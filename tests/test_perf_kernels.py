@@ -1,0 +1,191 @@
+"""Parity tests for the performance kernels (Pallas interpret mode on CPU)
+and the ROI/projective fast paths."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from perception_tpu.core.config import CameraIntrinsics
+from perception_tpu.core.mesh import ModelBank, mesh_model_from_arrays
+from perception_tpu.core.pose import euler_xyz_to_matrix
+from perception_tpu.ops.pallas_knn import nn1_batch_pallas
+from perception_tpu.ops.pallas_raster import pack_coefficients, rasterize_keys_pallas
+from perception_tpu.ops.knn import nn1_batch
+from perception_tpu.ops.rasterizer import (
+    compute_roi_anchors,
+    render_pose_batch,
+    screen_vertices,
+    triangle_coefficients,
+)
+
+from tests.test_core import make_box
+
+CAM = CameraIntrinsics(fx=160.0, fy=160.0, cx=64.0, cy=48.0, width=128, height=96)
+
+
+def _setup(n_poses=3, seed=0):
+    rng = np.random.default_rng(seed)
+    verts, faces = make_box(0.15, 0.12, 0.1)
+    model = mesh_model_from_arrays("box", verts, faces)
+    bank = ModelBank.from_models([model], t_cap=16)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_poses, 1, 1))
+    for i in range(n_poses):
+        poses[i, :3, :3] = euler_xyz_to_matrix(*rng.uniform(-1, 1, 3))
+        poses[i, :3, 3] = [rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05),
+                           rng.uniform(0.6, 0.8)]
+    return bank, poses
+
+
+def test_pallas_raster_interpret_matches_xla():
+    bank, poses = _setup()
+    ids = np.zeros(len(poses), np.int32)
+    proj = jnp.asarray(CAM.projection())
+
+    ref = render_pose_batch(
+        bank.tri_verts, bank.tri_colors, bank.tri_valid, poses, ids, proj,
+        width=CAM.width, height=CAM.height, stride=2, tile=16, backend="xla")
+
+    def setup_one(tv, ok, pose):
+        v_cam = (jnp.einsum("ij,tvj->tvi", pose[:3, :3], tv) + pose[:3, 3]) * 100.0
+        pts2, z = screen_vertices(v_cam, proj, CAM.width, CAM.height)
+        return triangle_coefficients(pts2, z, ok)
+
+    tri_v = bank.tri_verts[ids]
+    tri_ok = bank.tri_valid[ids]
+    coefs, aux, cok = jax.vmap(setup_one)(
+        jnp.asarray(tri_v), jnp.asarray(tri_ok), jnp.asarray(poses))
+    packed = pack_coefficients(coefs, aux, cok)
+    keys = rasterize_keys_pallas(packed, width=CAM.width, height=CAM.height,
+                                 stride=2, interpret=True)
+    from perception_tpu.ops.rasterizer import _INVALID_KEY, TRI_ID_BITS
+
+    depth = np.where(np.asarray(keys) == _INVALID_KEY, 0,
+                     np.asarray(keys) >> TRI_ID_BITS)
+    np.testing.assert_array_equal(
+        depth.reshape(ref.depth.shape), np.asarray(ref.depth))
+
+
+def test_pallas_raster_roi_interpret():
+    bank, poses = _setup()
+    ids = np.zeros(len(poses), np.int32)
+    proj = jnp.asarray(CAM.projection())
+    roi = (24, 24)
+
+    full = render_pose_batch(
+        bank.tri_verts, bank.tri_colors, bank.tri_valid, poses, ids, proj,
+        width=CAM.width, height=CAM.height, stride=2, tile=16, backend="xla")
+
+    def setup_one(tv, ok, pose):
+        v_cam = (jnp.einsum("ij,tvj->tvi", pose[:3, :3], tv) + pose[:3, 3]) * 100.0
+        pts2, z = screen_vertices(v_cam, proj, CAM.width, CAM.height)
+        return triangle_coefficients(pts2, z, ok)
+
+    coefs, aux, cok = jax.vmap(setup_one)(
+        jnp.asarray(bank.tri_verts[ids]), jnp.asarray(bank.tri_valid[ids]),
+        jnp.asarray(poses))
+    packed = pack_coefficients(coefs, aux, cok)
+    anchors = compute_roi_anchors(jnp.asarray(poses), proj,
+                                  CAM.width, CAM.height, 2, roi)
+    keys = rasterize_keys_pallas(packed, width=CAM.width, height=CAM.height,
+                                 stride=2, anchors=anchors, roi_shape=roi,
+                                 interpret=True)
+    from perception_tpu.ops.rasterizer import _INVALID_KEY, TRI_ID_BITS
+
+    depth = np.where(np.asarray(keys) == _INVALID_KEY, 0,
+                     np.asarray(keys) >> TRI_ID_BITS).reshape(-1, *roi)
+    a = np.asarray(anchors)
+    fd = np.asarray(full.depth)
+    for i in range(len(poses)):
+        x0, y0 = a[i]
+        window = fd[i, y0:y0 + roi[0], x0:x0 + roi[1]]
+        np.testing.assert_array_equal(depth[i], window)
+
+
+def test_render_roi_xla_matches_full_window():
+    bank, poses = _setup()
+    ids = np.zeros(len(poses), np.int32)
+    proj = jnp.asarray(CAM.projection())
+    roi = (40, 40)
+    full = render_pose_batch(
+        bank.tri_verts, bank.tri_colors, bank.tri_valid, poses, ids, proj,
+        width=CAM.width, height=CAM.height, stride=2, tile=16, backend="xla")
+    roi_out = render_pose_batch(
+        bank.tri_verts, bank.tri_colors, bank.tri_valid, poses, ids, proj,
+        width=CAM.width, height=CAM.height, stride=2, tile=16, backend="xla",
+        roi_shape=roi)
+    a = np.asarray(roi_out.anchors)
+    fd = np.asarray(full.depth)
+    for i in range(len(poses)):
+        x0, y0 = a[i]
+        np.testing.assert_array_equal(
+            np.asarray(roi_out.depth[i]), fd[i, y0:y0 + roi[0], x0:x0 + roi[1]])
+        # ROI contains the whole object (all rendered pixels).
+        assert (np.asarray(roi_out.depth[i]) > 0).sum() == (fd[i] > 0).sum()
+
+
+def test_pallas_knn_interpret_matches_xla(rng):
+    n, p, s = 2, 40, 70
+    q = rng.normal(size=(n, p, 3)).astype(np.float32)
+    r = rng.normal(size=(n, s, 3)).astype(np.float32)
+    rv = rng.random((n, s)) > 0.3
+    qv = jnp.ones((n, p), bool)
+    d_ref, i_ref = nn1_batch(jnp.asarray(q), qv, jnp.asarray(r),
+                             jnp.asarray(rv), ref_tile=32)
+    d, i = nn1_batch_pallas(jnp.asarray(q), qv, jnp.asarray(r),
+                            jnp.asarray(rv), interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-5)
+
+
+def test_scorer_roi_matches_full(monkeypatch):
+    """End-to-end: ROI-mode scores equal full-frame scores when the window
+    covers the object."""
+    import dataclasses
+
+    from tests.test_pipeline import gt_states, make_env
+    from perception_tpu.core.pose import ContPose
+    from perception_tpu.core.state import ObjectState
+
+    env = make_env()
+    env.set_observation_from_states(gt_states())
+    gt = gt_states()
+    rng = np.random.default_rng(5)
+    cands = []
+    for obj in gt:
+        for _ in range(4):
+            j = rng.normal(0, 0.015, 3)
+            p = ContPose.from_quat(obj.pose.x + j[0], obj.pose.y + j[1],
+                                   obj.pose.z + j[2], *obj.pose.quaternion())
+            cands.append(ObjectState(id=obj.id, symmetric=False, pose=p,
+                                     segmentation_label_id=obj.segmentation_label_id))
+    ref = env.score_object_states(cands, do_icp=False)
+    env.env = dataclasses.replace(env.env, roi_size=40)
+    roi = env.score_object_states(cands, do_icp=False)
+    for a, b in zip(ref, roi):
+        assert a.cost == b.cost, (a, b)
+        assert a.target_cost == b.target_cost
+
+
+def test_projective_icp_converges():
+    """Projective ICP improves an offset pose on the synthetic scene (looser
+    tolerance than NN mode: no tangential signal on flat faces)."""
+    import dataclasses
+
+    from tests.test_pipeline import gt_states, make_env
+    from perception_tpu.core.pose import ContPose
+    from perception_tpu.core.state import ObjectState
+
+    env = make_env()
+    env.set_observation_from_states(gt_states())
+    gt = gt_states()
+    env.env = dataclasses.replace(env.env, icp_mode="projective")
+    off = ContPose.from_quat(gt[0].pose.x + 0.005, gt[0].pose.y - 0.004,
+                             gt[0].pose.z + 0.012, 0, 0, 0, 1)
+    cand = ObjectState(id=0, symmetric=False, pose=off, segmentation_label_id=1)
+    scored = env.score_object_states([cand], do_icp=True)
+    adj = env.camera_to_world_pose(scored[0].adjusted_pose_cam, 0)
+    err = np.linalg.norm(np.array([adj.x, adj.y, adj.z])
+                         - np.array([gt[0].pose.x, gt[0].pose.y, gt[0].pose.z]))
+    init = np.linalg.norm([0.005, 0.004, 0.012])
+    assert err < init, f"projective ICP made it worse: {err} vs {init}"
