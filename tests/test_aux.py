@@ -1,0 +1,148 @@
+"""Tests for auxiliary subsystems: cloud utils, dataset generator,
+heuristics, config parser, debug dumps, stats."""
+
+import numpy as np
+import pytest
+
+from perception_tpu.core.config import CameraIntrinsics
+from perception_tpu.io.config_parser import parse_scene_config
+from perception_tpu.pipeline.heuristics import (
+    Detection,
+    DetectionHeuristicFactory,
+    load_detections,
+)
+from perception_tpu.core.pose import ContPose
+from perception_tpu.core.state import Discretizer, GraphState, ObjectState, StateHashManager
+from perception_tpu.utils.cloud_utils import (
+    euclidean_clusters,
+    fit_plane_ransac,
+    passthrough_filter,
+    remove_plane,
+    statistical_outlier_removal,
+    voxel_downsample,
+)
+from perception_tpu.utils.debug import colorize_depth, save_batch_grid
+
+
+def test_plane_fit_and_removal(rng):
+    plane = np.c_[rng.uniform(-1, 1, (400, 2)), np.zeros(400)]
+    blob = rng.normal([0.2, 0.1, 0.3], 0.03, (100, 3))
+    pts = np.vstack([plane, blob])
+    coeffs, mask = fit_plane_ransac(pts, 0.01)
+    assert abs(abs(coeffs[2]) - 1.0) < 0.02      # normal ~ z
+    assert mask[:400].mean() > 0.97
+    remaining, _ = remove_plane(pts, 0.02)
+    assert 80 <= len(remaining) <= 110
+
+
+def test_euclidean_clusters(rng):
+    a = rng.normal([0, 0, 0], 0.01, (50, 3))
+    b = rng.normal([1, 0, 0], 0.01, (30, 3))
+    clusters = euclidean_clusters(np.vstack([a, b]), tolerance=0.1, min_size=5)
+    assert [len(c) for c in clusters] == [50, 30]
+
+
+def test_voxel_downsample():
+    pts = np.array([[0.0, 0, 0], [0.001, 0, 0], [1.0, 1, 1]])
+    out = voxel_downsample(pts, 0.1)
+    assert len(out) == 2
+    assert np.allclose(sorted(out[:, 0]), [0.0005, 1.0])
+
+
+def test_filters(rng):
+    pts = rng.uniform(-1, 1, (200, 3))
+    kept = passthrough_filter(pts, 2, 0.0, 1.0)
+    assert (kept[:, 2] >= 0).all()
+    with_outlier = np.vstack([rng.normal(0, 0.05, (100, 3)), [[5, 5, 5]]])
+    cleaned = statistical_outlier_removal(with_outlier, k=10)
+    assert len(cleaned) == 100
+
+
+def test_dataset_generator():
+    from perception_tpu.eval.dataset_gen import DatasetGenerator
+    from tests.test_pipeline import make_env
+
+    env = make_env()
+    gen = DatasetGenerator(env, np.random.default_rng(2))
+    scene = gen.sample_scene(num_objects=2, x_range=(0.5, 0.7),
+                             y_range=(-0.15, 0.15), yaw_only=True)
+    assert len(scene.states) == 2
+    assert (scene.depth > 0).sum() > 50
+    assert set(np.unique(scene.label)) >= {0, 1}
+    # Generated scene round-trips through set_input.
+    env.set_observation_from_states(scene.states)
+    counts = np.asarray(env._observed.seg_count)
+    assert counts[0] > 0
+
+
+def test_detection_heuristics(tmp_path):
+    cam = CameraIntrinsics(fx=100.0, fy=100.0, cx=64.0, cy=48.0,
+                           width=128, height=96)
+    det = Detection(name="red_box", bbox=(54, 38, 74, 58))
+    factory = DetectionHeuristicFactory([det], cam)
+    names = ["red_box"]
+    near = ObjectState(0, False, ContPose.from_quat(0, 0, 1.0, 0, 0, 0, 1), 1)
+    far = ObjectState(0, False, ContPose.from_quat(0.5, 0.3, 1.0, 0, 0, 0, 1), 1)
+    h = factory.heuristic(names)
+    assert h(near) < h(far)
+    pruned = factory.prune([near, far], names, max_pixel_dist=20)
+    assert pruned == [near]
+    # Disk round trip.
+    import json
+
+    path = tmp_path / "dets.json"
+    path.write_text(json.dumps([{"name": "red_box", "bbox": [54, 38, 74, 58],
+                                 "score": 0.9}]))
+    loaded = load_detections(str(path))
+    assert loaded[0].name == "red_box" and loaded[0].score == 0.9
+
+
+def test_scene_config_parser(tmp_path):
+    cfg_text = (
+        "data/pc.pcd\n2\n"
+        "models/a.ply\nmodels/b.ply\n"
+        "true\nfalse\n"
+        "false\ntrue\n"
+        "-0.5 0.5\n-0.4 0.4\n0.7\n"
+        "1 0 0 0\n0 1 0 0\n0 0 1 0\n0 0 0 1\n")
+    p = tmp_path / "scene.txt"
+    p.write_text(cfg_text)
+    cfg = parse_scene_config(str(p), base_dir="/base")
+    assert cfg.pcd_file_path == "/base/data/pc.pcd"
+    assert cfg.model_names == ["a", "b"]
+    assert cfg.model_symmetries == [True, False]
+    assert cfg.model_flippings == [False, True]
+    assert cfg.min_x == -0.5 and cfg.max_y == 0.4 and cfg.table_height == 0.7
+    assert np.allclose(cfg.camera_pose, np.eye(4))
+
+
+def test_state_hash_manager():
+    disc = Discretizer()
+    mgr = StateHashManager(disc)
+    s1 = GraphState((ObjectState(0, False, ContPose.from_euler(0.1, 0.2, 0, 0, 0, 0.5), 1),))
+    s2 = GraphState((ObjectState(0, False, ContPose.from_euler(0.1001, 0.2001, 0, 0, 0, 0.5001), 1),))
+    s3 = GraphState((ObjectState(0, False, ContPose.from_euler(0.5, 0.2, 0, 0, 0, 0.5), 1),))
+    assert mgr.get_id(s1) == mgr.get_id(s2)   # same discrete cell
+    assert mgr.get_id(s1) != mgr.get_id(s3)
+    assert mgr.get_state(mgr.get_id(s1)).num_objects == 1
+    # Order independence.
+    o1 = ObjectState(0, False, ContPose.from_euler(0.1, 0.2, 0, 0, 0, 0.0), 1)
+    o2 = ObjectState(1, False, ContPose.from_euler(0.4, 0.1, 0, 0, 0, 0.0), 2)
+    assert (GraphState((o1, o2)).hash_key(disc)
+            == GraphState((o2, o1)).hash_key(disc))
+    # Symmetric objects ignore yaw.
+    sym_a = ObjectState(2, True, ContPose.from_euler(0.1, 0.2, 0, 0, 0, 0.3), 1)
+    sym_b = ObjectState(2, True, ContPose.from_euler(0.1, 0.2, 0, 0, 0, 2.1), 1)
+    assert sym_a.hash_key(disc) == sym_b.hash_key(disc)
+
+
+def test_debug_dumps(tmp_path):
+    depth = np.zeros((2, 16, 16), np.int32)
+    depth[0, 4:12, 4:12] = 100
+    depth[1, 2:6, 2:6] = 50
+    rgb = colorize_depth(depth[0])
+    assert rgb.shape == (16, 16, 3)
+    assert rgb[8, 8, 0] > 0
+    out = tmp_path / "grid.png"
+    save_batch_grid(depth, str(out), costs=[12, 34])
+    assert out.exists()
