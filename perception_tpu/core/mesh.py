@@ -179,7 +179,21 @@ def read_obj(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
             np.asarray(faces, dtype=np.int64).reshape(-1, 3), None)
 
 
-def read_mesh(path: str):
+def read_mesh(path: str, prefer_native: bool = True):
+    """Read a mesh file; uses the C++ loader when built (the Python binary
+    PLY reader loops faces row-by-row — far too slow for full-resolution
+    YCB meshes), falling back to the pure-Python parsers."""
+    if prefer_native:
+        try:
+            from perception_tpu.native.loader import (
+                load_mesh_native,
+                native_available,
+            )
+
+            if native_available():
+                return load_mesh_native(path)
+        except Exception:
+            pass
     if path.endswith(".ply"):
         return read_ply(path)
     if path.endswith(".obj"):
