@@ -53,6 +53,10 @@ class RenderOutput(NamedTuple):
     tri_id: jax.Array         # [N, h, w] int32 winning triangle (-1 = empty)
     anchors: jax.Array        # [N, 2] int32 strided ROI origin (x0, y0);
                               # zeros in full-frame mode
+    clutter_ratio: jax.Array  # [N] float32 % of rendered pixels occluded by
+                              # closer source geometry (USE_CLUTTER
+                              # accounting, image_renderer.cuh:189-206,
+                              # counted per winning pixel not per fragment)
 
 
 def screen_vertices(tri_v_cam_cm: jax.Array, proj: jax.Array,
@@ -349,6 +353,7 @@ def render_pose_batch(
     color = jnp.where(empty[..., None], 0.0, color)
 
     pose_occluded = jnp.zeros((n_poses,), dtype=jnp.int32)
+    clutter_ratio = jnp.zeros((n_poses,), dtype=jnp.float32)
     if source_depth is not None:
         if roi_shape is not None:
             src2d = jax.vmap(
@@ -378,6 +383,11 @@ def render_pose_batch(
         # Render occludes source: flag pose (reference USE_TREE path).
         occluding = present & mismatch & (d <= src) & src_pos
         pose_occluded = occluding.any(axis=1).astype(jnp.int32)
+        # Clutter accounting: fraction of rendered pixels hidden behind
+        # clearly-closer source geometry (>= 5 cm, cuh:191).
+        clutter = removed & (src <= d - 5)
+        total = present.sum(axis=1).astype(jnp.float32)
+        clutter_ratio = (clutter.sum(axis=1) / jnp.maximum(total, 1.0) * 100.0)
         depth = jnp.where(removed, 0, depth)
         tri_id = jnp.where(removed, -1, tri_id)
         color = jnp.where(removed[..., None], 0.0, color)
@@ -388,6 +398,7 @@ def render_pose_batch(
         pose_occluded=pose_occluded,
         tri_id=tri_id.reshape(n_poses, out_h, out_w),
         anchors=anchors,
+        clutter_ratio=clutter_ratio,
     )
 
 

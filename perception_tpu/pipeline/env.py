@@ -377,6 +377,8 @@ class PerceptionEnv:
             depth_factor=env.gpu_depth_factor,
             roi_shape=roi,
             backend=env.kernel_backend,
+            use_clutter_mode=perch.use_clutter_mode,
+            clutter_regularizer=perch.clutter_regularizer,
         )
 
     def score_object_states(

@@ -90,6 +90,8 @@ class ScorerConfig:
     depth_factor: float = 100.0   # render depth units per metre
     roi_shape: tuple[int, int] | None = None   # (roi_h, roi_w) strided
     backend: str = "auto"         # kernel backend: "pallas" | "xla" | "auto"
+    use_clutter_mode: bool = False
+    clutter_regularizer: float = 0.1
 
 
 class PoseScores(NamedTuple):
@@ -217,10 +219,13 @@ def score_pose_batch(
 
     # Total-cost combination from ComputeGreedyCostsInParallelGPU
     # (search_env.cpp:2022-2036): -1 sentinel propagates; otherwise
-    # int(rendered% + observed%).
+    # int(rendered% + observed%), plus the regularised clutter ratio when
+    # operating in under-clutter mode (PERCHParams clutter_regularizer).
     invalid = costs.rendered_cost.astype(jnp.int32) < 0
-    total = (costs.rendered_cost + costs.observed_cost).astype(jnp.int32)
-    total = jnp.where(invalid, -1, total)
+    total_f = costs.rendered_cost + costs.observed_cost
+    if cfg.use_clutter_mode:
+        total_f = total_f + cfg.clutter_regularizer * render.clutter_ratio
+    total = jnp.where(invalid, -1, total_f.astype(jnp.int32))
 
     return PoseScores(
         total_cost=total,
