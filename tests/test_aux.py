@@ -146,3 +146,33 @@ def test_debug_dumps(tmp_path):
     out = tmp_path / "grid.png"
     save_batch_grid(depth, str(out), costs=[12, 34])
     assert out.exists()
+
+
+def test_vfh_estimator():
+    from perception_tpu.eval.vfh import VFHPoseEstimator, compute_vfh
+    from tests.test_pipeline import make_env
+
+    env = make_env()
+    # Need an input context for render_composite's pose transform.
+    from perception_tpu.pipeline.env import RecognitionInput
+    env._input = RecognitionInput(depth_image=np.zeros((96, 128)),
+                                  cam_to_world=np.eye(4))
+    est = VFHPoseEstimator(env)
+    n = est.train(num_views=8, distance=0.7)
+    assert n >= 8
+
+    # Descriptor is a normalised 308-vector.
+    e = est.entries[0]
+    assert e.descriptor.shape == (308,)
+    assert np.isfinite(e.descriptor).all()
+
+    # Query with a training view's own cloud -> same model comes back.
+    from perception_tpu.core.pose import ContPose
+    from perception_tpu.core.state import ObjectState
+
+    state = ObjectState(id=1, symmetric=False,
+                        pose=ContPose.from_euler(0, 0, 0.7, 0, e.pitch, e.yaw),
+                        segmentation_label_id=1)
+    pts, nrm = est._view_cloud(state)
+    match = est.estimate(pts, nrm, k=3)
+    assert any(m.name == "green_box" for m in match)
