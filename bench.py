@@ -1,17 +1,18 @@
 """Benchmark: candidate poses rendered + scored per second on one chip.
 
-Reference baseline (BASELINE.md): PERCH 2.0 scores ~700-pose GPU batches
-with render+cloud+GICP+KNN+cost in ~1 s/scene on an NVidia GPU; the rebuild
-target is >= 100k candidate poses rendered+scored per second on one TPU v5e
-chip. This benchmark runs the full unified pipeline (render -> cloud -> ICP
-refine -> re-render -> 1-NN -> cost) on a YCB-scale synthetic problem:
-640x480 images at stride 8, 1024-triangle models, label-partitioned
-observed segments, NN-association ICP, per-pose ROI windows, Pallas kernels.
+Runs the full unified pipeline (render -> cloud -> NN-ICP refine ->
+re-render -> 1-NN -> cost) on a realistic rendered scene at YCB scale:
+640x480 at stride 8, ~1k-triangle models, 3-object scene with genuine
+occlusion/segment structure, candidates perturbed around ground truth so
+refinement behaves as in real greedy recognition (benchmarks/bench_scene).
 
-Timing note: the axon TPU tunnel has ~27 ms host round-trip latency and a
-non-blocking block_until_ready, so the pipeline is iterated inside one
-jitted fori_loop with forced data dependencies and a single scalar
-readback (see benchmarks/harness.py).
+Baseline (BASELINE.md): reference PERCH 2.0 scores ~5k candidate poses per
+~1 s scene on an NVidia GPU; the north-star target is 100k poses/s on one
+TPU v5e chip (the vs_baseline denominator).
+
+Timing: the axon tunnel has ~27 ms host round-trip latency and a
+non-blocking block_until_ready, so the pipeline iterates inside one jitted
+fori_loop with forced data dependencies and a single scalar readback.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,9 +22,8 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 import time
-
-import numpy as np
 
 BASELINE_POSES_PER_SEC = 100_000.0
 
@@ -32,24 +32,15 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    import __graft_entry__ as graft
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    from bench_scene import build_bench_problem
+
     from perception_tpu.pipeline.scorer import score_pose_batch
 
     n_poses = int(os.environ.get("BENCH_POSES", 512))
-    on_tpu = jax.default_backend() == "tpu"
-    cfg, args = graft._synthetic_problem(
-        n_poses=n_poses, t_cap=1024, width=640, height=480, stride=8,
-        seg_cap=1024, n_labels=4, max_points=1024)
-    cfg = dataclasses.replace(
-        cfg,
-        do_icp=True, icp_mode="nn", icp_max_iterations=15, icp_downsample=4,
-        roi_shape=(32, 32),
-        backend="pallas" if on_tpu else "xla")
-
-    args = [jax.device_put(np.asarray(a)) if not isinstance(a, tuple)
-            else jax.tree_util.tree_map(
-                lambda x: jax.device_put(np.asarray(x)), a)
-            for a in args]
+    env, cands, args, cfg = build_bench_problem(n_poses=n_poses)
+    cfg = dataclasses.replace(cfg, icp_max_iterations=30)
     (btv, btc, bvl, poses, mids, labels, totals, proj, scene) = args
 
     def step(p):
@@ -87,7 +78,7 @@ def main() -> None:
         "batch_seconds": round(best, 4),
         "compile_seconds": round(compile_time, 1),
         "device": str(jax.devices()[0]),
-        "config": "640x480 s8 T1024 S1024 roi32 icp_nn15 pallas",
+        "config": "real-scene 640x480 s8 T1024 roi32 icp_nn pallas",
     }
     print(json.dumps(result))
 

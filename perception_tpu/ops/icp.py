@@ -327,8 +327,8 @@ def icp_point_to_plane_batch(
             return nn1_batch_pallas(q, qv, r, rv)
         return nn1_batch(q, qv, r, rv, ref_tile=ref_tile)
 
-    def body(carry, _):
-        delta, converged, iters = carry
+    def body(carry):
+        k, delta, converged, iters, _, _ = carry
         cur = jnp.einsum("nij,npj->npi", delta[:, :3, :3], src_xyz) + delta[:, None, :3, 3]
         dist_sq, idx = nn_fn(cur, src_valid, tgt_xyz, tgt_valid)
         q = jnp.take_along_axis(tgt_xyz, idx[..., None], axis=1)
@@ -340,19 +340,34 @@ def icp_point_to_plane_batch(
         step = se3_exp(xi)
         new_delta = jnp.einsum("nij,njk->nik", step, delta)
 
-        rot_small = jnp.linalg.norm(xi[:, :3], axis=1) < rotation_epsilon
-        trans_small = jnp.linalg.norm(xi[:, 3:], axis=1) < transformation_epsilon
-        newly = rot_small & trans_small
-        iters = iters + (~converged).astype(jnp.int32)
-        converged = converged | newly | ~ok
-
         mse = jnp.sum(e * e * w, axis=1) / jnp.maximum(count, 1.0)
         fitness = count / jnp.maximum(src_valid.sum(axis=1), 1.0)
-        return (new_delta, converged, iters), (fitness, jnp.sqrt(mse))
+        rmse = jnp.sqrt(mse)
 
-    init = (jnp.broadcast_to(jnp.eye(4), (n, 4, 4)),
-            jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32))
-    (delta, _, iters), (fit_hist, rmse_hist) = jax.lax.scan(
-        body, init, None, length=max_iterations)
-    return ICPResult(delta=delta, fitness=fit_hist[-1], rmse=rmse_hist[-1],
-                     iterations=iters)
+        rot_small = jnp.linalg.norm(xi[:, :3], axis=1) < rotation_epsilon
+        trans_small = jnp.linalg.norm(xi[:, 3:], axis=1) < transformation_epsilon
+        # Second criterion: relative fitness/rmse stagnation, the in-repo
+        # cuda_icp convergence test (icp.h ICPConvergenceCriteria 1e-5 /
+        # icp.cu:196-199). On cm-quantised depth the epsilon-step test alone
+        # rarely fires (GN oscillates at ~mm scale); the residual plateaus
+        # long before.
+        prev_fit, prev_rmse = carry[4], carry[5]
+        stagnant = ((jnp.abs(fitness - prev_fit) < 1e-5)
+                    & (jnp.abs(rmse - prev_rmse) < 1e-5) & (k > 0))
+        newly = (rot_small & trans_small) | stagnant
+        iters = iters + (~converged).astype(jnp.int32)
+        converged = converged | newly | ~ok
+        return (k + 1, new_delta, converged, iters, fitness, rmse)
+
+    # while_loop instead of a fixed-trip scan: the whole batch usually
+    # converges well before max_iterations (the reference's per-pose
+    # epsilon exits, batched: stop when every pose is done).
+    def cond(carry):
+        k, _, converged, *_ = carry
+        return (k < max_iterations) & ~jnp.all(converged)
+
+    init = (jnp.int32(0), jnp.broadcast_to(jnp.eye(4), (n, 4, 4)),
+            jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+    _, delta, _, iters, fitness, rmse = jax.lax.while_loop(cond, body, init)
+    return ICPResult(delta=delta, fitness=fitness, rmse=rmse, iterations=iters)
