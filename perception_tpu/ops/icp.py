@@ -353,7 +353,7 @@ def icp_point_to_plane_batch(
         # long before.
         prev_fit, prev_rmse = carry[4], carry[5]
         stagnant = ((jnp.abs(fitness - prev_fit) < 1e-5)
-                    & (jnp.abs(rmse - prev_rmse) < 1e-5) & (k > 0))
+                    & (jnp.abs(rmse - prev_rmse) < 1e-6) & (k > 0))
         newly = (rot_small & trans_small) | stagnant
         iters = iters + (~converged).astype(jnp.int32)
         converged = converged | newly | ~ok
