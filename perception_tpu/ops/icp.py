@@ -328,7 +328,7 @@ def icp_point_to_plane_batch(
         return nn1_batch(q, qv, r, rv, ref_tile=ref_tile)
 
     def body(carry):
-        k, delta, converged, iters, _, _ = carry
+        k, delta, converged, iters, _, _, _ = carry
         cur = jnp.einsum("nij,npj->npi", delta[:, :3, :3], src_xyz) + delta[:, None, :3, 3]
         dist_sq, idx = nn_fn(cur, src_valid, tgt_xyz, tgt_valid)
         q = jnp.take_along_axis(tgt_xyz, idx[..., None], axis=1)
@@ -349,15 +349,18 @@ def icp_point_to_plane_batch(
         # Second criterion: relative fitness/rmse stagnation, the in-repo
         # cuda_icp convergence test (icp.h ICPConvergenceCriteria 1e-5 /
         # icp.cu:196-199). On cm-quantised depth the epsilon-step test alone
-        # rarely fires (GN oscillates at ~mm scale); the residual plateaus
-        # long before.
-        prev_fit, prev_rmse = carry[4], carry[5]
+        # rarely fires (GN oscillates at ~mm scale). A single stagnant
+        # iteration is often just a mid-basin plateau (measured accuracy
+        # regression when firing immediately), so require a 3-iteration
+        # streak.
+        prev_fit, prev_rmse, streak = carry[4], carry[5], carry[6]
         stagnant = ((jnp.abs(fitness - prev_fit) < 1e-5)
                     & (jnp.abs(rmse - prev_rmse) < 1e-6) & (k > 0))
-        newly = (rot_small & trans_small) | stagnant
+        streak = jnp.where(stagnant, streak + 1, 0)
+        newly = (rot_small & trans_small) | (streak >= 3)
         iters = iters + (~converged).astype(jnp.int32)
         converged = converged | newly | ~ok
-        return (k + 1, new_delta, converged, iters, fitness, rmse)
+        return (k + 1, new_delta, converged, iters, fitness, rmse, streak)
 
     # while_loop instead of a fixed-trip scan: the whole batch usually
     # converges well before max_iterations (the reference's per-pose
@@ -368,6 +371,7 @@ def icp_point_to_plane_batch(
 
     init = (jnp.int32(0), jnp.broadcast_to(jnp.eye(4), (n, 4, 4)),
             jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32),
-            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
-    _, delta, _, iters, fitness, rmse = jax.lax.while_loop(cond, body, init)
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.int32))
+    _, delta, _, iters, fitness, rmse, _ = jax.lax.while_loop(cond, body, init)
     return ICPResult(delta=delta, fitness=fitness, rmse=rmse, iterations=iters)
