@@ -49,7 +49,7 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
     env_cfg = EnvConfig(width=width, height=height,
                         max_points_per_pose=1024, max_observed_points=8192,
                         max_points_per_label=1024, max_labels=4,
-                        roi_size=32, icp_mode="nn",
+                        roi_size=32, icp_mode="auto",
                         kernel_backend="auto")
     env = PerceptionEnv(bank, cam, perch, env_cfg)
 

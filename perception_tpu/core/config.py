@@ -139,9 +139,9 @@ class EnvConfig:
                                               # cloud inside GICP refinement
     # TPU performance knobs (no reference analogue).
     roi_size: int = 0                         # strided ROI side; 0 = full frame
-    icp_mode: str = "nn"                      # "nn" (reference parity) |
-                                              # "projective" (faster, weak
-                                              # tangential constraint)
+    icp_mode: str = "auto"                    # "auto" (fused on TPU, nn on
+                                              # CPU) | "nn" | "fused" |
+                                              # "projective"
     kernel_backend: str = "auto"              # "pallas" | "xla" | "auto"
 
     @classmethod

@@ -345,6 +345,14 @@ class PerceptionEnv:
     # Scoring
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _resolve_icp_mode(mode: str) -> str:
+        if mode != "auto":
+            return mode
+        from perception_tpu.ops.rasterizer import default_backend
+
+        return "fused" if default_backend() == "pallas" else "nn"
+
     def _scorer_config(self, do_icp: bool | None = None) -> ScorerConfig:
         cam, perch, env = self.camera, self.perch, self.env
         six_dof = self._input.use_external_pose_list
@@ -370,7 +378,7 @@ class PerceptionEnv:
             occlusion_threshold=perch.gpu_occlusion_threshold,
             use_segmentation_label=six_dof,
             do_icp=do_icp,
-            icp_mode=env.icp_mode,
+            icp_mode=self._resolve_icp_mode(env.icp_mode),
             icp_max_iterations=min(perch.max_icp_iterations, 60),
             icp_max_correspondence=perch.icp_max_correspondence,
             icp_downsample=env.icp_downsample,

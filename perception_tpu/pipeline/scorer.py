@@ -78,7 +78,7 @@ class ScorerConfig:
     occlusion_threshold: float = 1.0
     use_segmentation_label: bool = True
     do_icp: bool = True
-    icp_mode: str = "projective"    # "projective" | "nn"
+    icp_mode: str = "nn"    # "nn" | "fused" | "projective"
     icp_max_iterations: int = 30
     icp_max_correspondence: float = 0.05
     icp_rotation_epsilon: float = 2e-3
@@ -177,7 +177,23 @@ def score_pose_batch(
         ds = cfg.icp_downsample
         src_xyz = cloud.xyz[:, ::ds]
         src_valid = cloud.valid[:, ::ds]
-        if cfg.icp_mode == "projective":
+        if cfg.icp_mode == "fused":
+            from perception_tpu.ops.icp import crop_targets
+            from perception_tpu.ops.pallas_icp import icp_fused_pallas
+
+            k = min(cfg.icp_crop_targets or 256, tgt_xyz.shape[1])
+            centers = (jnp.sum(src_xyz * src_valid[..., None], axis=1)
+                       / jnp.maximum(src_valid.sum(axis=1), 1)[:, None])
+            cidx = crop_targets(tgt_xyz, tgt_valid, centers, k)
+            delta_mat = icp_fused_pallas(
+                src_xyz, src_valid,
+                jnp.take_along_axis(tgt_xyz, cidx[..., None], axis=1),
+                jnp.take_along_axis(tgt_valid, cidx, axis=1),
+                jnp.take_along_axis(scene.seg_normals[labels],
+                                    cidx[..., None], axis=1),
+                max_iterations=cfg.icp_max_iterations,
+                max_correspondence=cfg.icp_max_correspondence)
+        elif cfg.icp_mode == "projective":
             icp = icp_projective_batch(
                 src_xyz, src_valid,
                 scene.map_xyz, scene.map_normals, scene.map_valid,
@@ -189,6 +205,7 @@ def score_pose_batch(
                 rotation_epsilon=cfg.icp_rotation_epsilon,
                 transformation_epsilon=cfg.icp_transformation_epsilon,
                 use_labels=cfg.use_segmentation_label)
+            delta_mat = icp.delta
         else:
             backend = cfg.backend
             if backend == "auto":
@@ -203,7 +220,8 @@ def score_pose_batch(
                 ref_tile=cfg.knn_ref_tile,
                 crop_k=cfg.icp_crop_targets,
                 backend=backend)
-        adjusted = jnp.einsum("nij,njk->nik", icp.delta, poses)
+            delta_mat = icp.delta
+        adjusted = jnp.einsum("nij,njk->nik", delta_mat, poses)
         # Re-render and re-cloud at the refined poses (renderer.cu:1740-1817).
         render, cloud = _render_and_cloud(
             bank_tri_verts, bank_tri_colors, bank_tri_valid,
