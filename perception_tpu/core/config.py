@@ -139,6 +139,7 @@ class EnvConfig:
                                               # cloud inside GICP refinement
     # TPU performance knobs (no reference analogue).
     roi_size: int = 0                         # strided ROI side; 0 = full frame
+    icp_render_scale: int = 1                 # coarse pre-ICP render factor (off)
     icp_mode: str = "auto"                    # "auto" (fused on TPU, nn on
                                               # CPU) | "nn" | "fused" |
                                               # "projective"

@@ -382,6 +382,7 @@ class PerceptionEnv:
             icp_max_iterations=min(perch.max_icp_iterations, 60),
             icp_max_correspondence=perch.icp_max_correspondence,
             icp_downsample=env.icp_downsample,
+            icp_render_scale=env.icp_render_scale,
             depth_factor=env.gpu_depth_factor,
             roi_shape=roi,
             backend=env.kernel_backend,

@@ -85,6 +85,10 @@ class ScorerConfig:
     icp_transformation_epsilon: float = 5e-4
     icp_downsample: int = 4
     icp_crop_targets: int = 256   # per-pose target crop for NN ICP (0 = off)
+    icp_render_scale: int = 1     # >1: render the pre-ICP pass at
+                                  # stride*scale (the ICP source cloud is
+                                  # downsampled anyway; replaces
+                                  # icp_downsample when active)
     raster_tile: int = 256
     knn_ref_tile: int = 512
     depth_factor: float = 100.0   # render depth units per metre
@@ -168,13 +172,31 @@ def score_pose_batch(
     tgt_rgb = scene.seg_rgb[labels]
     tgt_valid = scene.seg_valid[labels]
 
-    render, cloud = _render_and_cloud(
-        bank_tri_verts, bank_tri_colors, bank_tri_valid,
-        poses, model_ids, proj, scene, pose_labels, cfg)
+    coarse = (cfg.do_icp and cfg.icp_render_scale > 1
+              and cfg.roi_shape is not None)
+    if coarse:
+        # Pre-ICP pass: the only consumer is the (downsampled) ICP source
+        # cloud, so render it at stride*scale over a proportionally smaller
+        # ROI window — same sample positions the ::icp_downsample slice
+        # would have kept, at 1/scale^2 the raster cost.
+        sc = cfg.icp_render_scale
+        coarse_cfg = dataclasses.replace(
+            cfg, stride=cfg.stride * sc,
+            roi_shape=(cfg.roi_shape[0] // sc, cfg.roi_shape[1] // sc))
+        coarse_scene = scene._replace(
+            source_depth=scene.source_depth[::sc, ::sc],
+            source_label=scene.source_label[::sc, ::sc])
+        render, cloud = _render_and_cloud(
+            bank_tri_verts, bank_tri_colors, bank_tri_valid,
+            poses, model_ids, proj, coarse_scene, pose_labels, coarse_cfg)
+    else:
+        render, cloud = _render_and_cloud(
+            bank_tri_verts, bank_tri_colors, bank_tri_valid,
+            poses, model_ids, proj, scene, pose_labels, cfg)
 
     adjusted = poses
     if cfg.do_icp:
-        ds = cfg.icp_downsample
+        ds = 1 if coarse else cfg.icp_downsample
         src_xyz = cloud.xyz[:, ::ds]
         src_valid = cloud.valid[:, ::ds]
         if cfg.icp_mode == "fused":
