@@ -30,6 +30,44 @@ COST_TYPE_3DOF_RGBD = 1
 COST_TYPE_6DOF = 2
 
 
+def normalize_costs(raw_rendered, pose_point_num, observed_explained,
+                    observed_total, occluded) -> "CostOutput":
+    """Shared percentage normalisation + sentinel logic (cuh:362-446)."""
+    rendered_explained = pose_point_num - raw_rendered
+    rendered_cost = jnp.where(
+        pose_point_num == 0, -1.0,
+        raw_rendered / jnp.maximum(pose_point_num, 1.0) * 100.0)
+    rendered_cost = jnp.where(occluded, -1.0, rendered_cost)
+    observed_cost = (observed_total - observed_explained) / jnp.maximum(
+        observed_total, 1e-9) * 100.0
+    points_diff = rendered_explained - observed_explained
+    return CostOutput(
+        rendered_cost=rendered_cost,
+        observed_cost=observed_cost,
+        points_diff_cost=points_diff,
+        pose_point_num=pose_point_num,
+        observed_explained=observed_explained,
+    )
+
+
+def compute_costs_fused(
+    cloud_xyz, cloud_valid, pose_occluded, tgt_xyz, tgt_valid,
+    observed_total, *, sensor_resolution: float, interpret: bool = False,
+) -> "CostOutput":
+    """Depth-only cost via the fused Pallas NN+count kernel (types 0/2)."""
+    from perception_tpu.ops.pallas_cost import nn_cost_fused_pallas
+
+    point_num, unexplained, explained = nn_cost_fused_pallas(
+        cloud_xyz, cloud_valid, tgt_xyz, tgt_valid,
+        sensor_resolution=sensor_resolution, interpret=interpret)
+    occluded = pose_occluded.astype(bool)
+    point_num = jnp.where(occluded, 0.0, point_num)
+    unexplained = jnp.where(occluded, 0.0, unexplained)
+    explained = jnp.where(occluded, 0.0, explained)
+    return normalize_costs(unexplained, point_num, explained,
+                           observed_total, occluded)
+
+
 class CostOutput(NamedTuple):
     rendered_cost: jax.Array     # [N] float32, % unexplained rendered (-1 invalid)
     observed_cost: jax.Array     # [N] float32, % unexplained observed
@@ -81,21 +119,5 @@ def compute_costs(
     explained_mat = jax.vmap(scatter_one)(knn_idx, explains)
     observed_explained = explained_mat.sum(axis=1)
 
-    rendered_explained = pose_point_num - raw_rendered
-
-    # Percentage normalisation with -1 sentinels.
-    rendered_cost = jnp.where(
-        pose_point_num == 0, -1.0, raw_rendered / jnp.maximum(pose_point_num, 1.0) * 100.0)
-    rendered_cost = jnp.where(occluded, -1.0, rendered_cost)
-
-    observed_cost = (observed_total - observed_explained) / jnp.maximum(
-        observed_total, 1e-9) * 100.0
-    points_diff = rendered_explained - observed_explained
-
-    return CostOutput(
-        rendered_cost=rendered_cost,
-        observed_cost=observed_cost,
-        points_diff_cost=points_diff,
-        pose_point_num=pose_point_num,
-        observed_explained=observed_explained,
-    )
+    return normalize_costs(raw_rendered, pose_point_num, observed_explained,
+                           observed_total, occluded)

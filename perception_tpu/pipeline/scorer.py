@@ -249,13 +249,22 @@ def score_pose_batch(
             bank_tri_verts, bank_tri_colors, bank_tri_valid,
             adjusted, model_ids, proj, scene, pose_labels, cfg)
 
-    dist_sq, idx = _nn1(cloud.xyz, cloud.valid, tgt_xyz, tgt_valid, cfg)
-    costs: CostOutput = compute_costs(
-        dist_sq, idx, cloud.valid, render.pose_occluded,
-        cloud.rgb, tgt_rgb, observed_total,
-        sensor_resolution=cfg.sensor_resolution,
-        color_distance_threshold=cfg.color_distance_threshold,
-        cost_type=cfg.cost_type)
+    backend = cfg.backend if cfg.backend != "auto" else default_backend()
+    if backend == "pallas" and cfg.cost_type != 1:
+        from perception_tpu.ops.cost import compute_costs_fused
+
+        costs: CostOutput = compute_costs_fused(
+            cloud.xyz, cloud.valid, render.pose_occluded,
+            tgt_xyz, tgt_valid, observed_total,
+            sensor_resolution=cfg.sensor_resolution)
+    else:
+        dist_sq, idx = _nn1(cloud.xyz, cloud.valid, tgt_xyz, tgt_valid, cfg)
+        costs = compute_costs(
+            dist_sq, idx, cloud.valid, render.pose_occluded,
+            cloud.rgb, tgt_rgb, observed_total,
+            sensor_resolution=cfg.sensor_resolution,
+            color_distance_threshold=cfg.color_distance_threshold,
+            cost_type=cfg.cost_type)
 
     # Total-cost combination from ComputeGreedyCostsInParallelGPU
     # (search_env.cpp:2022-2036): -1 sentinel propagates; otherwise

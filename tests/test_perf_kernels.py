@@ -189,3 +189,45 @@ def test_projective_icp_converges():
                          - np.array([gt[0].pose.x, gt[0].pose.y, gt[0].pose.z]))
     init = np.linalg.norm([0.005, 0.004, 0.012])
     assert err < init, f"projective ICP made it worse: {err} vs {init}"
+
+
+def test_fused_cost_matches_composed(rng):
+    from perception_tpu.ops.cost import compute_costs, compute_costs_fused
+    from perception_tpu.ops.pallas_cost import nn_cost_fused_pallas
+
+    n, p, s = 3, 40, 72
+    cloud = rng.normal(0, 0.05, (n, p, 3)).astype(np.float32)
+    cloud[..., 2] += 0.6
+    cvalid = rng.random((n, p)) > 0.25
+    tgt = rng.normal(0, 0.05, (n, s, 3)).astype(np.float32)
+    tgt[..., 2] += 0.6
+    tvalid = rng.random((n, s)) > 0.25
+    occl = np.array([0, 1, 0], np.int32)
+    totals = np.full(n, 50.0, np.float32)
+
+    pn, ue, ex = nn_cost_fused_pallas(
+        jnp.asarray(cloud), jnp.asarray(cvalid), jnp.asarray(tgt),
+        jnp.asarray(tvalid), sensor_resolution=0.03, interpret=True)
+
+    # Composed reference.
+    from perception_tpu.ops.knn import nn1_batch
+
+    d, i = nn1_batch(jnp.asarray(cloud), jnp.asarray(cvalid),
+                     jnp.asarray(tgt), jnp.asarray(tvalid), ref_tile=24)
+    ref = compute_costs(d, i, jnp.asarray(cvalid),
+                        jnp.zeros(n, jnp.int32),
+                        jnp.zeros((n, p, 3)), jnp.zeros((n, s, 3)),
+                        jnp.asarray(totals), sensor_resolution=0.03)
+    np.testing.assert_allclose(np.asarray(pn), np.asarray(ref.pose_point_num))
+    np.testing.assert_allclose(np.asarray(ex),
+                               np.asarray(ref.observed_explained))
+    # Full wrapper with occlusion sentinels.
+    out = compute_costs_fused(
+        jnp.asarray(cloud), jnp.asarray(cvalid), jnp.asarray(occl),
+        jnp.asarray(tgt), jnp.asarray(tvalid), jnp.asarray(totals),
+        sensor_resolution=0.03, interpret=True)
+    assert float(out.rendered_cost[1]) == -1.0
+    np.testing.assert_allclose(np.asarray(out.rendered_cost[0]),
+                               np.asarray(ref.rendered_cost[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.observed_cost[2]),
+                               np.asarray(ref.observed_cost[2]), rtol=1e-6)
