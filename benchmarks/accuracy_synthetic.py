@@ -12,10 +12,13 @@ Usage: python benchmarks/accuracy_synthetic.py [num_scenes] [--icp/--no-icp]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_env():
@@ -107,11 +110,16 @@ def main() -> None:
             e_add = add_err(est[:3, :3], est[:3, 3], gtm[:3, :3], gtm[:3, 3], pts)
             e_adi = adi_err(est[:3, :3], est[:3, 3], gtm[:3, :3], gtm[:3, 3], pts)
             errors.append(min(e_add, e_adi) if model.symmetric else e_adi)
-        # Undetected objects count as max error.
-        missed = len(scene.states) - state.num_objects
+        # Undetected *visible* objects count as max error (a fully occluded
+        # object has no mask pixels and cannot be detected — the YCB
+        # protocol only evaluates visible instances).
+        detected_ids = {s.id for s in state.object_states}
+        visible = [s for s in scene.states
+                   if (scene.label == s.segmentation_label_id).sum() >= 30]
+        missed = sum(1 for s in visible if s.id not in detected_ids)
         errors.extend([1.0] * missed)
-        print(f"scene {si}: detected {state.num_objects}/{len(scene.states)}"
-              f" t={runtimes[-1]:.2f}s", flush=True)
+        print(f"scene {si}: detected {state.num_objects}/{len(visible)}"
+              f" visible t={runtimes[-1]:.2f}s", flush=True)
 
     m = compute_pose_metrics(np.asarray(errors))
     print(json.dumps({

@@ -405,6 +405,11 @@ class PerceptionEnv:
         for start in range(0, len(states), batch):
             chunk = list(states[start:start + batch])
             n = len(chunk)
+            # Pad the last chunk to the full batch size: one compiled shape
+            # for every dispatch (the reference's fixed gpu_batch_size
+            # chunking; padded entries are dropped below).
+            if n < batch:
+                chunk = chunk + [chunk[0]] * (batch - n)
             poses = np.stack([self.pose_to_camera(s) for s in chunk])
             ids = np.asarray([s.id for s in chunk], np.int32)
             labels = np.asarray(
@@ -412,7 +417,7 @@ class PerceptionEnv:
             if self._input.use_external_pose_list:
                 observed_total = seg_count[labels]
             else:
-                observed_total = np.full(n, total_points, np.float32)
+                observed_total = np.full(len(chunk), total_points, np.float32)
 
             t0 = time.perf_counter()
             scores: PoseScores = score_pose_batch(
@@ -429,7 +434,7 @@ class PerceptionEnv:
             self.stats.gpu_time += time.perf_counter() - t0
             self.stats.scenes_rendered += n
 
-            for i, st in enumerate(chunk):
+            for i, st in enumerate(chunk[:n]):
                 # (100, 100) degenerate diff rule (search_env.cpp:2030-2033).
                 d = diff[i]
                 if int(rendered[i]) == 100 and int(observed[i]) == 100:
