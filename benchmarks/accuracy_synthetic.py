@@ -94,7 +94,7 @@ def main() -> None:
         names = [env.bank.models[s.id].name for s in scene.states]
         cand_rows = generate_candidates(
             (scene.depth.astype(np.float64) * 10), scene.label, names,
-            env.camera, depth_factor=1000.0, num_samples=40,
+            env.camera, depth_factor=1000.0, num_samples=60,
             cam_to_world=env._input.cam_to_world)
         # Map candidate rows to object states via the 6-DoF generator.
         t0 = time.perf_counter()

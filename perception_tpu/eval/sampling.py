@@ -72,6 +72,11 @@ def get_rotation_samples(label: str, num_samples: int,
     object's in-plane mode.
     """
     if symmetry is None:
+        # Default matches the reference's dominant mode (0, 0). Note: denser
+        # in-plane sampling (0, 7) closes orientation gaps but measurably
+        # LOWERS ADD-S AUC on random-SO(3) synthetic scenes — extra
+        # candidates add plausible-but-wrong minima that win the visible-
+        # surface cost argmin. Pass `symmetry` explicitly to override.
         symmetry = YCB_SYMMETRY.get(label, (0, 0))
     half_whole, inplane = symmetry
     pts = sphere_fibonacci_grid(num_samples, half=(half_whole == 0))

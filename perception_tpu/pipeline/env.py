@@ -100,6 +100,7 @@ class PerceptionEnv:
         self._source_label = None
         self._world_kdtree: cKDTree | None = None
         self._seg_kdtrees: list[cKDTree | None] = []
+        self.debug_dir: str | None = None
         self._proj = jnp.asarray(camera.projection())
         self._bank_tri_verts = jnp.asarray(bank.tri_verts)
         self._bank_tri_colors = jnp.asarray(bank.tri_colors)
@@ -484,6 +485,17 @@ class PerceptionEnv:
             state = state.append(adj_state)
             chosen.append(dataclasses.replace(su, state=adj_state))
         self.stats.time = time.perf_counter() - t0
+        if self.perch.vis_expanded_states and self.debug_dir and state.num_objects:
+            # Final greedy-state dump (reference PrintStateGPU at the end of
+            # ComputeGreedyRenderPoses, search_env.cpp:2645).
+            from perception_tpu.utils.debug import save_batch_grid, save_depth_image
+
+            depth, color, _ = self.render_composite(state.object_states)
+            save_depth_image(depth, f"{self.debug_dir}/depth_greedy_state.png")
+            import cv2
+
+            cv2.imwrite(f"{self.debug_dir}/color_greedy_state.png",
+                        color[..., ::-1].astype(np.uint8))
         self.stats.scenes_valid = sum(1 for s in scored if s.cost >= 0)
         return state, chosen
 
