@@ -32,7 +32,15 @@ COST_TYPE_6DOF = 2
 
 def normalize_costs(raw_rendered, pose_point_num, observed_explained,
                     observed_total, occluded) -> "CostOutput":
-    """Shared percentage normalisation + sentinel logic (cuh:362-446)."""
+    """Shared percentage normalisation + sentinel logic (cuh:362-446).
+
+    Deviation from the reference arithmetic: observed_cost is clamped to
+    [0, 100] and an empty observed total scores 100. The reference divides
+    raw differences directly (compute_costs.cuh:422-446), which under
+    use_cylinder_observed can go negative (NN-explained points outside the
+    cylinder) or infinite (zero cylinder count) and then corrupts the
+    |target-source| selection filter.
+    """
     rendered_explained = pose_point_num - raw_rendered
     rendered_cost = jnp.where(
         pose_point_num == 0, -1.0,
@@ -40,6 +48,8 @@ def normalize_costs(raw_rendered, pose_point_num, observed_explained,
     rendered_cost = jnp.where(occluded, -1.0, rendered_cost)
     observed_cost = (observed_total - observed_explained) / jnp.maximum(
         observed_total, 1e-9) * 100.0
+    observed_cost = jnp.where(observed_total <= 0, 100.0,
+                              jnp.clip(observed_cost, 0.0, 100.0))
     points_diff = rendered_explained - observed_explained
     return CostOutput(
         rendered_cost=rendered_cost,

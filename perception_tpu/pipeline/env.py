@@ -417,6 +417,17 @@ class PerceptionEnv:
                 [max(s.segmentation_label_id - 1, 0) for s in chunk], np.int32)
             if self._input.use_external_pose_list:
                 observed_total = seg_count[labels]
+            elif self.perch.use_cylinder_observed:
+                # Observed points inside each pose's inflated circumscribing
+                # cylinder (projected x/y search — GetStateImagesUnifiedGPU,
+                # search_env.cpp:1593-1613).
+                observed_total = np.empty(len(chunk), np.float32)
+                xy = self._world_points[:, :2]
+                for i, st in enumerate(chunk):
+                    model = self.bank.models[st.id]
+                    rad = model.inflation_factor * model.circumscribed_radius
+                    d2 = ((xy - [st.pose.x, st.pose.y]) ** 2).sum(axis=1)
+                    observed_total[i] = float((d2 <= rad * rad).sum())
             else:
                 observed_total = np.full(len(chunk), total_points, np.float32)
 
