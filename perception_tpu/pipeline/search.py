@@ -50,11 +50,20 @@ class TreeSearch:
         candidates_per_model: Sequence[ObjectState] | None = None,
         heuristic: Callable[[ObjectState], float] | None = None,
         max_successors_per_model: int = 512,
+        lazy_k: int = 0,
     ):
+        """lazy_k > 0 enables lazy successor evaluation (reference
+        GetLazySuccs/GetTrueCost, search_env.cpp:2653+, 2846-2933): beyond
+        the first level, candidates are ordered by their cached root-level
+        cost (cheap estimate that ignores the newly composed occluders) and
+        only the best lazy_k per model are re-scored against the node's
+        composed source image."""
         self.env = env
         self.beam_width = beam_width
         self.heuristic = heuristic
         self.max_successors_per_model = max_successors_per_model
+        self.lazy_k = lazy_k
+        self._root_costs: dict[int, int] = {}
         self._candidates = candidates_per_model
         self.stats = EnvStats()
 
@@ -129,12 +138,24 @@ class TreeSearch:
                 remaining = [m for m in per_model if m not in node.placed_ids]
                 cands: list[ObjectState] = []
                 for mid in remaining:
-                    cands.extend(per_model[mid])
+                    pool = per_model[mid]
+                    if self.lazy_k and node.state.num_objects > 0:
+                        # Lazy ordering by cached root-level cost; true-cost
+                        # only the best lazy_k against the composed source.
+                        pool = sorted(
+                            pool,
+                            key=lambda s: self._root_costs.get(
+                                id(s), 10**9))[:self.lazy_k]
+                    cands.extend(pool)
                 if not cands:
                     continue
                 self.stats.expands += 1
                 scored = self._score_with_source(
                     cands, node.source_depth, node.source_label)
+                if node.state.num_objects == 0:
+                    for su, st in zip(scored, cands):
+                        cost = su.cost if su.cost >= 0 else 10**9
+                        self._root_costs[id(st)] = cost
                 for su in scored:
                     if su.cost < 0:
                         continue

@@ -152,3 +152,19 @@ def test_cli_localize_greedy(tmp_path):
         err = np.linalg.norm(np.asarray(r["location"])
                              - [obj.pose.x, obj.pose.y, obj.pose.z])
         assert err < 0.12, f"{r['name']}: {err}"
+
+
+def test_tree_search_lazy_matches_full():
+    env = make_env()
+    gt = gt_states()
+    env.set_observation_from_states(gt)
+    cands = jittered_candidates(gt, np.random.default_rng(7))
+    full = TreeSearch(env, beam_width=2, candidates_per_model=cands).plan()
+    lazy_search = TreeSearch(env, beam_width=2, candidates_per_model=cands,
+                             lazy_k=4)
+    lazy = lazy_search.plan()
+    assert lazy.num_objects == 2
+    # Lazy result recovers the same scene (within grid tolerance).
+    for a in lazy.object_states:
+        b = next(s for s in full.object_states if s.id == a.id)
+        assert np.hypot(a.pose.x - b.pose.x, a.pose.y - b.pose.y) < 0.02
