@@ -1,0 +1,122 @@
+"""Localisation service round-trip + edge-case robustness tests."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from perception_tpu.core.pose import CAM_TO_BODY
+from perception_tpu.core.state import ObjectState
+from perception_tpu.pipeline.env import RecognitionInput
+
+from tests.test_pipeline import gt_states, make_env
+
+
+class _FakeRecognizer:
+    """Adapter: PerceptionEnv-based recogniser for the service without
+    loading meshes from disk."""
+
+    def __init__(self, env):
+        self.env = env
+        import dataclasses as dc
+
+        self.specs = [dc.make_dataclass("S", ["name"])(m.name)
+                      for m in env.bank.models]
+
+    def localize_objects_greedy_render(self, rin, pose_lists):
+        from perception_tpu.pipeline.recognizer import ObjectRecognizer
+
+        env = self.env
+        env.set_input(rin)
+        cands = env.generate_successors_6dof(pose_lists)
+        state, _ = env.compute_greedy_poses(cands)
+        names, poses, tfs = [], [], []
+        for obj in state.object_states:
+            model = env.bank.models[obj.id]
+            names.append(model.name)
+            poses.append(obj.pose)
+            tfs.append(obj.pose.transform() @ model.preprocessing_transform)
+        import types
+
+        return types.SimpleNamespace(names=names, poses=poses,
+                                     object_transforms=tfs)
+
+
+def test_service_round_trip():
+    from perception_tpu.serve import serve
+
+    env = make_env()
+    gt = gt_states()
+    env.set_observation_from_states(gt)
+    depth_cm = np.asarray(env._input.depth_image)
+    label = np.asarray(env._input.label_mask)
+    server = serve(_FakeRecognizer(env), port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        payload = {
+            "depth_image": depth_cm.tolist(),
+            "label_mask": label.tolist(),
+            "depth_factor": 100.0,
+            "cam_to_world": CAM_TO_BODY.tolist(),
+            "segmented_object_names": ["red_box", "green_box"],
+            "pose_lists": {
+                "red_box": [[gt[0].pose.x, gt[0].pose.y, gt[0].pose.z,
+                             0, 0, 0, 1]],
+            },
+            "mode": "greedy",
+        }
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/localize",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())
+        assert "detections" in out
+        assert out["detections"][0]["name"] == "red_box"
+        t_est = out["detections"][0]["translation"]
+        assert abs(t_est[0] - gt[0].pose.x) < 0.03
+    finally:
+        server.shutdown()
+
+
+def test_empty_candidate_list():
+    env = make_env()
+    env.set_observation_from_states(gt_states())
+    state, chosen = env.compute_greedy_poses([])
+    assert state.num_objects == 0
+    assert chosen == []
+
+
+def test_all_invalid_candidates():
+    from perception_tpu.core.pose import ContPose
+
+    env = make_env()
+    env.set_observation_from_states(gt_states())
+    # Behind the camera: renders empty -> cost -1 -> nothing selected.
+    far = ObjectState(id=0, symmetric=False,
+                      pose=ContPose.from_quat(-5.0, 0, 0, 0, 0, 0, 1),
+                      segmentation_label_id=1)
+    scored = env.score_object_states([far], do_icp=False)
+    assert scored[0].cost == -1
+    state, _ = env.compute_greedy_poses([far])
+    assert state.num_objects == 0
+
+
+def test_empty_observation():
+    env = make_env()
+    rin = RecognitionInput(
+        depth_image=np.zeros((env.camera.height, env.camera.width)),
+        label_mask=np.zeros((env.camera.height, env.camera.width), np.int32),
+        depth_factor=100.0, cam_to_world=CAM_TO_BODY.copy(),
+        use_external_pose_list=True)
+    env.set_input(rin)
+    assert int(env._observed.count) == 0
+    # Scoring against an empty scene: no observed points -> everything
+    # unexplained or empty, but no crash and no selection.
+    gt = gt_states()
+    scored = env.score_object_states([gt[0]], do_icp=False)
+    assert scored[0].cost == -1 or scored[0].target_cost >= 99
