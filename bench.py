@@ -40,7 +40,7 @@ def main() -> None:
 
     n_poses = int(os.environ.get("BENCH_POSES", 512))
     env, cands, args, cfg = build_bench_problem(n_poses=n_poses)
-    cfg = dataclasses.replace(cfg, icp_max_iterations=30)
+    cfg = dataclasses.replace(cfg, icp_max_iterations=20)
     (btv, btc, bvl, poses, mids, labels, totals, proj, scene) = args
 
     def step(p):
