@@ -477,6 +477,21 @@ def mesh_model_from_arrays(
                      full_tri_verts=tri_verts)
 
 
+def _morton_order(centroids: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Z-order sort of 3D points (interleaved quantised coordinates)."""
+    if len(centroids) == 0:
+        return np.arange(0)
+    lo = centroids.min(axis=0)
+    span = np.maximum(centroids.max(axis=0) - lo, 1e-12)
+    q = np.minimum(((centroids - lo) / span * (2**bits - 1)).astype(np.uint64),
+                   2**bits - 1)
+    code = np.zeros(len(centroids), dtype=np.uint64)
+    for b in range(bits):
+        for d in range(3):
+            code |= ((q[:, d] >> b) & 1) << np.uint64(3 * b + d)
+    return np.argsort(code, kind="stable")
+
+
 @dataclasses.dataclass
 class ModelBank:
     """All scene models stacked into padded arrays for one-tensor dispatch.
@@ -507,8 +522,12 @@ class ModelBank:
                 raise ValueError(
                     f"model {m.name} has {m.num_triangles} triangles > cap {t_cap}; "
                     "raise t_cap or lower target_triangles at load time")
-            tri_verts[i, :t] = m.tri_verts[:t]
-            tri_colors[i, :t] = m.tri_colors[:t]
+            # Spatially sort triangles (morton order over centroids): gives
+            # triangle *chunks* tight screen bounding boxes, which the
+            # rasteriser's chunk-culling exploits.
+            order = _morton_order(m.tri_verts[:t].mean(axis=1))
+            tri_verts[i, :t] = m.tri_verts[:t][order]
+            tri_colors[i, :t] = m.tri_colors[:t][order]
             tri_valid[i, :t] = True
         return cls(models=models, tri_verts=tri_verts, tri_colors=tri_colors,
                    tri_valid=tri_valid)

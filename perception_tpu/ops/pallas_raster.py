@@ -35,10 +35,12 @@ TILE_PIX = 512
 TRI_CHUNK = 256
 
 
-def _raster_kernel(anchor_ref, coef_ref, out_ref, *, width, height, stride,
-                   n_chunks, n_tiles, tri_chunk, roi_w, tile_pix):
+def _raster_kernel(anchor_ref, coef_ref, bbox_ref, out_ref, *, width, height,
+                   stride, n_chunks, n_tiles, tri_chunk, roi_w, tile_pix):
     """anchor_ref [N, 2] int32 (SMEM, scalar-prefetched strided ROI origin);
-    coef_ref [1, T, 12] f32; out_ref [1, n_tiles, tile_pix] int32."""
+    coef_ref [1, T, 12] f32; bbox_ref [1, n_chunks_pad, 4] f32 per-chunk
+    screen bboxes (xmin, xmax, ymin, ymax);
+    out_ref [1, n_tiles, tile_pix] int32."""
     pose = pl.program_id(0)
     x0 = anchor_ref[pose, 0]
     y0 = anchor_ref[pose, 1]
@@ -49,23 +51,42 @@ def _raster_kernel(anchor_ref, coef_ref, out_ref, *, width, height, stride,
         # Written pixel (x_w, y_w) -> screen P = (x_w, H-1-y_w).
         px = ((x0 + flat % roi_w) * stride).astype(jnp.float32)
         py = (height - 1 - (y0 + flat // roi_w) * stride).astype(jnp.float32)
+        # Screen-space rect of this pixel tile (tiles span full ROI rows).
+        r0 = (j * tile_pix) // roi_w
+        r1 = (j * tile_pix + tile_pix - 1) // roi_w
+        tx_min = (x0 * stride).astype(jnp.float32)
+        tx_max = ((x0 + roi_w - 1) * stride).astype(jnp.float32)
+        ty_max = (height - 1 - (y0 + r0) * stride).astype(jnp.float32)
+        ty_min = (height - 1 - (y0 + r1) * stride).astype(jnp.float32)
 
         def chunk_body(k, best):
-            c = coef_ref[0, pl.ds(k * tri_chunk, tri_chunk), :]  # [TT, 12]
-            beta = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
-            gamma = c[:, 3:4] * px + c[:, 4:5] * py + c[:, 5:6]
-            w = c[:, 6:7] * px + c[:, 7:8] * py + c[:, 8:9]
-            alpha = c[:, 9:10] - beta - gamma
-            covered = ((alpha >= 0.0) & (beta >= 0.0) & (gamma >= 0.0)
-                       & (w > 1e-9))
-            depth = 1.0 / jnp.where(covered, w, 1.0)
-            depth = jnp.round(jnp.clip(depth, c[:, 10:11], c[:, 11:12]))
-            depth_i = jnp.clip(depth, 1.0, float(_MAX_DEPTH)).astype(jnp.int32)
-            ids = (k * tri_chunk + jax.lax.broadcasted_iota(
-                jnp.int32, (tri_chunk, tile_pix), 0))
-            keys = jnp.where(covered, (depth_i << TRI_ID_BITS) | ids,
-                             jnp.int32(_INVALID_KEY))
-            return jnp.minimum(best, keys.min(axis=0, keepdims=True))
+            # Exact cull: a covered sample lies inside its triangle's bbox,
+            # so a chunk whose united bbox misses the tile rect contributes
+            # nothing.
+            overlap = ((bbox_ref[0, k, 0] <= tx_max)
+                       & (bbox_ref[0, k, 1] >= tx_min)
+                       & (bbox_ref[0, k, 2] <= ty_max)
+                       & (bbox_ref[0, k, 3] >= ty_min))
+
+            def compute(best):
+                c = coef_ref[0, pl.ds(k * tri_chunk, tri_chunk), :]  # [TT, 12]
+                beta = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
+                gamma = c[:, 3:4] * px + c[:, 4:5] * py + c[:, 5:6]
+                w = c[:, 6:7] * px + c[:, 7:8] * py + c[:, 8:9]
+                alpha = c[:, 9:10] - beta - gamma
+                covered = ((alpha >= 0.0) & (beta >= 0.0) & (gamma >= 0.0)
+                           & (w > 1e-9))
+                depth = 1.0 / jnp.where(covered, w, 1.0)
+                depth = jnp.round(jnp.clip(depth, c[:, 10:11], c[:, 11:12]))
+                depth_i = jnp.clip(depth, 1.0, float(_MAX_DEPTH)).astype(
+                    jnp.int32)
+                ids = (k * tri_chunk + jax.lax.broadcasted_iota(
+                    jnp.int32, (tri_chunk, tile_pix), 0))
+                keys = jnp.where(covered, (depth_i << TRI_ID_BITS) | ids,
+                                 jnp.int32(_INVALID_KEY))
+                return jnp.minimum(best, keys.min(axis=0, keepdims=True))
+
+            return jax.lax.cond(overlap, compute, lambda b: b, best)
 
         init = jnp.full((1, tile_pix), _INVALID_KEY, dtype=jnp.int32)
         keys = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
@@ -85,6 +106,7 @@ def rasterize_keys_pallas(
     stride: int,
     anchors: jax.Array | None = None,   # [N, 2] int32 strided ROI origin
     roi_shape: tuple[int, int] | None = None,  # (roi_h, roi_w) strided
+    tri_bboxes: jax.Array | None = None,  # [N, T, 4] screen bboxes
     interpret: bool = False,
 ) -> jax.Array:
     """Packed (depth << TRI_ID_BITS | tri_id) keys [N, Npix] (unpadded).
@@ -101,8 +123,28 @@ def rasterize_keys_pallas(
         pad = tri_chunk - t % tri_chunk
         fill = jnp.zeros((n, pad, 12), coefs.dtype).at[:, :, 9].set(-jnp.inf)
         coefs = jnp.concatenate([coefs, fill], axis=1)
+        if tri_bboxes is not None:
+            bfill = jnp.tile(
+                jnp.asarray([jnp.inf, -jnp.inf, jnp.inf, -jnp.inf],
+                            jnp.float32), (n, pad, 1))
+            tri_bboxes = jnp.concatenate([tri_bboxes, bfill], axis=1)
         t += pad
     n_chunks = t // tri_chunk
+
+    # Per-chunk screen bboxes (with a 1px safety margin); without
+    # per-triangle boxes, use all-overlapping sentinels (no culling).
+    if tri_bboxes is not None:
+        cb = tri_bboxes.reshape(n, n_chunks, tri_chunk, 4)
+        chunk_bboxes = jnp.stack([
+            cb[..., 0].min(axis=2) - 1.0,
+            cb[..., 1].max(axis=2) + 1.0,
+            cb[..., 2].min(axis=2) - 1.0,
+            cb[..., 3].max(axis=2) + 1.0,
+        ], axis=-1)
+    else:
+        chunk_bboxes = jnp.tile(
+            jnp.asarray([-jnp.inf, jnp.inf, -jnp.inf, jnp.inf], jnp.float32),
+            (n, n_chunks, 1))
 
     if roi_shape is None:
         roi_h, roi_w = height // stride, width // stride
@@ -122,6 +164,8 @@ def rasterize_keys_pallas(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[pl.BlockSpec((1, t, 12), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, n_chunks, 4), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, n_tiles, tile_pix), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -131,7 +175,7 @@ def rasterize_keys_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, n_tiles, tile_pix), jnp.int32),
         interpret=interpret,
-    )(anchors.astype(jnp.int32), coefs)
+    )(anchors.astype(jnp.int32), coefs, chunk_bboxes)
     return out.reshape(n, n_tiles * tile_pix)[:, :npix]
 
 

@@ -325,11 +325,27 @@ def render_pose_batch(
             rasterize_keys_pallas,
         )
 
-        coefs, aux, cok = jax.vmap(setup_one)(tri_v, tri_ok, pose_mats)
+        def setup_pallas(tv, ok, pose):
+            rot = pose[:3, :3]
+            t = pose[:3, 3]
+            v_cam = (jnp.einsum("ij,tvj->tvi", rot, tv) + t) * 100.0
+            pts2, z = screen_vertices(v_cam, proj, width, height)
+            coefs, aux, cok = triangle_coefficients(pts2, z, ok)
+            # Per-triangle screen bbox for chunk culling in the kernel.
+            bbox = jnp.stack([
+                jnp.where(cok, pts2[..., 0].min(axis=-1), jnp.inf),
+                jnp.where(cok, pts2[..., 0].max(axis=-1), -jnp.inf),
+                jnp.where(cok, pts2[..., 1].min(axis=-1), jnp.inf),
+                jnp.where(cok, pts2[..., 1].max(axis=-1), -jnp.inf),
+            ], axis=-1)
+            return coefs, aux, cok, bbox
+
+        coefs, aux, cok, bboxes = jax.vmap(setup_pallas)(
+            tri_v, tri_ok, pose_mats)
         packed = pack_coefficients(coefs, aux, cok)
         keys = rasterize_keys_pallas(
             packed, width=width, height=height, stride=stride,
-            anchors=anchors, roi_shape=roi_shape)
+            anchors=anchors, roi_shape=roi_shape, tri_bboxes=bboxes)
     else:
         base_pix = jnp.asarray(_roi_pixel_matrix(out_h, out_w))
 
