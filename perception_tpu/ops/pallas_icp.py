@@ -51,9 +51,10 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, nrm_ref, tadd_ref, out_ref, *,
     tadd = tadd_ref[0, :, :]                       # [S, 1]
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
 
-    def body(_, carry):
-        # carry: current transform (12 scalars), best transform (12), best rmse.
-        cur_tf, best_tf, best_rmse = carry
+    def body(carry):
+        # carry: iter k, current transform (12 scalars), best transform (12),
+        # best rmse, stagnation streak.
+        k, cur_tf, best_tf, best_rmse, streak = carry
         (r00, r01, r02, r10, r11, r12, r20, r21, r22, t0, t1, t2) = cur_tf
         cx = r00 * sx + r01 * sy + r02 * sz + t0   # [1, P]
         cy = r10 * sx + r11 * sy + r12 * sz + t1
@@ -181,14 +182,25 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, nrm_ref, tadd_ref, out_ref, *,
         nt2 = e20 * t0 + e21 * t1 + e22 * t2 + xi[5]
         new_cur = (nr00, nr01, nr02, nr10, nr11, nr12, nr20, nr21, nr22,
                    nt0, nt1, nt2)
-        return (new_cur, new_best_tf, new_best_rmse)
+        # Per-pose early exit: step-epsilon convergence or a 3-iteration
+        # best-rmse stagnation streak (mirrors ops/icp.py's criteria).
+        rot_n2 = wx * wx + wy * wy + wz * wz
+        trn_n2 = xi[3] * xi[3] + xi[4] * xi[4] + xi[5] * xi[5]
+        step_small = (rot_n2 < 4e-6) & (trn_n2 < 2.5e-7)
+        new_streak = jnp.where(improved, jnp.float32(0.0), streak + 1.0)
+        done = step_small | (new_streak >= 3.0) | (~ok)
+        next_k = jnp.where(done, jnp.int32(max_iterations), k + 1)
+        return (next_k, new_cur, new_best_tf, new_best_rmse, new_streak)
 
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
     ident = (one, zero, zero, zero, one, zero, zero, zero, one,
              zero, zero, zero)
-    init = (ident, ident, jnp.float32(np.inf))
-    _, final, _ = jax.lax.fori_loop(0, max_iterations, body, init)
+    init = (jnp.int32(0), ident, ident, jnp.float32(np.inf),
+            jnp.float32(0.0))
+    final_carry = jax.lax.while_loop(
+        lambda c: c[0] < max_iterations, body, init)
+    final = final_carry[2]
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
