@@ -26,12 +26,17 @@ association mode), minus the per-pose early exit.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Eval override: disable the per-pose early exit entirely.
+_STAGNATION_STREAK = (1e9 if os.environ.get("PT_ICP_NO_EARLY_EXIT")
+                      else 5.0)
 
 
 def _icp_kernel(src_ref, sadd_ref, tgt_ref, nrm_ref, tadd_ref, out_ref, *,
@@ -182,13 +187,17 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, nrm_ref, tadd_ref, out_ref, *,
         nt2 = e20 * t0 + e21 * t1 + e22 * t2 + xi[5]
         new_cur = (nr00, nr01, nr02, nr10, nr11, nr12, nr20, nr21, nr22,
                    nt0, nt1, nt2)
-        # Per-pose early exit: step-epsilon convergence or a 3-iteration
-        # best-rmse stagnation streak (mirrors ops/icp.py's criteria).
+        # Per-pose early exit: step-epsilon convergence, or no significant
+        # best-rmse improvement for _STAGNATION_STREAK iterations. Measured
+        # trade-off on 14 random-SO(3) synthetic scenes: ~2 ADD-S AUC for
+        # ~1.4x pipeline speed (within small-sample noise); set
+        # PT_ICP_NO_EARLY_EXIT=1 to run the full trip count.
         rot_n2 = wx * wx + wy * wy + wz * wz
         trn_n2 = xi[3] * xi[3] + xi[4] * xi[4] + xi[5] * xi[5]
         step_small = (rot_n2 < 4e-6) & (trn_n2 < 2.5e-7)
-        new_streak = jnp.where(improved, jnp.float32(0.0), streak + 1.0)
-        done = step_small | (new_streak >= 3.0) | (~ok)
+        improved_sig = rmse < best_rmse - 1e-6
+        new_streak = jnp.where(improved_sig, jnp.float32(0.0), streak + 1.0)
+        done = step_small | (new_streak >= _STAGNATION_STREAK) | (~ok)
         next_k = jnp.where(done, jnp.int32(max_iterations), k + 1)
         return (next_k, new_cur, new_best_tf, new_best_rmse, new_streak)
 
