@@ -375,6 +375,7 @@ class MeshModel:
     full_tri_verts: np.ndarray | None = None  # pre-decimation (for metrics)
     search_resolution: float = 0.0
     num_original_triangles: int = 0
+    backface_cullable: bool = False   # watertight + consistently wound
 
     @property
     def num_triangles(self) -> int:
@@ -439,6 +440,7 @@ def load_model(
     full_tris = verts[faces].astype(np.float32)
     dverts, dfaces, dcolors = decimate_vertex_clustering(
         verts, faces, colors, target_triangles)
+    cullable, dfaces = analyze_winding(dverts, dfaces)
     tri_verts = dverts[dfaces].astype(np.float32)
     if dcolors is not None:
         tri_colors = dcolors[dfaces].astype(np.float32).mean(axis=1).astype(np.uint8)
@@ -453,6 +455,7 @@ def load_model(
         symmetry_mode=symmetry_mode,
         full_tri_verts=full_tris,
         num_original_triangles=num_original,
+        backface_cullable=cullable,
     )
 
 
@@ -467,6 +470,7 @@ def mesh_model_from_arrays(
     verts, pre_transform = preprocess_model(np.asarray(verts, np.float64),
                                             **preprocess_kwargs)
     faces = np.asarray(faces, np.int64)
+    cullable, faces = analyze_winding(verts, faces)
     tri_verts = verts[faces].astype(np.float32)
     if colors is not None:
         tri_colors = np.asarray(colors, np.float64)[faces].mean(axis=1).astype(np.uint8)
@@ -474,7 +478,37 @@ def mesh_model_from_arrays(
         tri_colors = np.full((len(faces), 3), 128, dtype=np.uint8)
     return MeshModel(name=name, tri_verts=tri_verts, tri_colors=tri_colors,
                      preprocessing_transform=pre_transform,
-                     full_tri_verts=tri_verts)
+                     full_tri_verts=tri_verts, backface_cullable=cullable)
+
+
+def analyze_winding(verts: np.ndarray, faces: np.ndarray) -> tuple[bool, np.ndarray]:
+    """(watertight_and_consistent, faces_oriented_outward).
+
+    A mesh qualifies for exact backface culling iff it is closed with
+    consistent winding: every directed edge appears exactly once and its
+    reverse exactly once. If consistent but wound inward (majority of face
+    normals point at the centroid), the returned faces are flipped to
+    outward orientation.
+    """
+    faces = np.asarray(faces, np.int64)
+    if len(faces) == 0:
+        return False, faces
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]], axis=0)
+    keys = edges[:, 0] * (verts.shape[0] + 1) + edges[:, 1]
+    uniq, counts = np.unique(keys, return_counts=True)
+    if (counts != 1).any():
+        return False, faces
+    rev = edges[:, 1] * (verts.shape[0] + 1) + edges[:, 0]
+    if not np.isin(rev, uniq).all():
+        return False, faces
+    # Orientation: majority of normals should point away from the centroid.
+    tri = verts[faces]
+    normals = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    outward = ((tri.mean(axis=1) - verts.mean(axis=0)) * normals).sum(axis=1)
+    if np.sign(outward).sum() < 0:
+        faces = faces[:, [0, 2, 1]]
+    return True, faces
 
 
 def _morton_order(centroids: np.ndarray, bits: int = 10) -> np.ndarray:
@@ -507,6 +541,7 @@ class ModelBank:
     tri_verts: np.ndarray   # [M, T_cap, 3, 3] float32
     tri_colors: np.ndarray  # [M, T_cap, 3] float32 (0..255)
     tri_valid: np.ndarray   # [M, T_cap] bool
+    backface_cull: np.ndarray  # [M] bool (watertight, outward-wound)
 
     @classmethod
     def from_models(cls, models: list[MeshModel], t_cap: int | None = None) -> "ModelBank":
@@ -516,6 +551,8 @@ class ModelBank:
         tri_verts = np.zeros((m_count, t_cap, 3, 3), dtype=np.float32)
         tri_colors = np.zeros((m_count, t_cap, 3), dtype=np.float32)
         tri_valid = np.zeros((m_count, t_cap), dtype=bool)
+        backface_cull = np.asarray(
+            [m.backface_cullable for m in models], dtype=bool)
         for i, m in enumerate(models):
             t = min(m.num_triangles, t_cap)
             if m.num_triangles > t_cap:
@@ -530,7 +567,7 @@ class ModelBank:
             tri_colors[i, :t] = m.tri_colors[:t][order]
             tri_valid[i, :t] = True
         return cls(models=models, tri_verts=tri_verts, tri_colors=tri_colors,
-                   tri_valid=tri_valid)
+                   tri_valid=tri_valid, backface_cull=backface_cull)
 
     @property
     def names(self) -> list[str]:

@@ -275,6 +275,7 @@ def render_pose_batch(
     tile: int = 256,
     backend: str = "auto",                   # "pallas" | "xla" | "auto"
     roi_shape: tuple[int, int] | None = None,  # (roi_h, roi_w) strided window
+    bank_backface: jax.Array | None = None,  # [M] bool: watertight models
 ) -> RenderOutput:
     """Render N candidate poses as strided depth+color images with occlusion.
 
@@ -293,6 +294,8 @@ def render_pose_batch(
 
     tri_v = bank_tri_verts[pose_model_ids]      # [N, T, 3, 3]
     tri_ok = bank_tri_valid[pose_model_ids]     # [N, T]
+    cullable = (bank_backface[pose_model_ids] if bank_backface is not None
+                else None)                      # [N]
 
     if backend == "auto":
         backend = default_backend()
@@ -311,10 +314,18 @@ def render_pose_batch(
         out_h, out_w = h_s, w_s
         anchors = jnp.zeros((n_poses, 2), jnp.int32)
 
-    def setup_one(tv, ok, pose):
+    def setup_one(tv, ok, pose, cull):
         rot = pose[:3, :3]
         t = pose[:3, 3]
         v_cam = jnp.einsum("ij,tvj->tvi", rot, tv) + t
+        if cull is not None:
+            # Backface cull (exact for watertight outward-wound meshes: a
+            # back face can never win the depth min). Camera at the origin:
+            # facing iff normal . v0 < 0.
+            normal = jnp.cross(v_cam[:, 1] - v_cam[:, 0],
+                               v_cam[:, 2] - v_cam[:, 0])
+            facing = jnp.sum(normal * v_cam[:, 0], axis=-1) < 0.0
+            ok = ok & (facing | ~cull)
         v_cam = v_cam * 100.0  # m -> cm render units
         pts2, z = screen_vertices(v_cam, proj, width, height)
         return triangle_coefficients(pts2, z, ok)
@@ -325,10 +336,16 @@ def render_pose_batch(
             rasterize_keys_pallas,
         )
 
-        def setup_pallas(tv, ok, pose):
+        def setup_pallas(tv, ok, pose, cull):
             rot = pose[:3, :3]
             t = pose[:3, 3]
-            v_cam = (jnp.einsum("ij,tvj->tvi", rot, tv) + t) * 100.0
+            v_cam = jnp.einsum("ij,tvj->tvi", rot, tv) + t
+            if cull is not None:
+                normal = jnp.cross(v_cam[:, 1] - v_cam[:, 0],
+                                   v_cam[:, 2] - v_cam[:, 0])
+                facing = jnp.sum(normal * v_cam[:, 0], axis=-1) < 0.0
+                ok = ok & (facing | ~cull)
+            v_cam = v_cam * 100.0
             pts2, z = screen_vertices(v_cam, proj, width, height)
             coefs, aux, cok = triangle_coefficients(pts2, z, ok)
             # Per-triangle screen bbox for chunk culling in the kernel.
@@ -340,8 +357,9 @@ def render_pose_batch(
             ], axis=-1)
             return coefs, aux, cok, bbox
 
-        coefs, aux, cok, bboxes = jax.vmap(setup_pallas)(
-            tri_v, tri_ok, pose_mats)
+        coefs, aux, cok, bboxes = jax.vmap(
+            setup_pallas, in_axes=(0, 0, 0, None if cullable is None else 0))(
+            tri_v, tri_ok, pose_mats, cullable)
         packed = pack_coefficients(coefs, aux, cok)
         keys = rasterize_keys_pallas(
             packed, width=width, height=height, stride=stride,
@@ -349,8 +367,8 @@ def render_pose_batch(
     else:
         base_pix = jnp.asarray(_roi_pixel_matrix(out_h, out_w))
 
-        def render_one(tv, ok, pose, anchor):
-            coefs, aux, cok = setup_one(pose=pose, tv=tv, ok=ok)
+        def render_one(tv, ok, pose, anchor, cull):
+            coefs, aux, cok = setup_one(tv, ok, pose, cull)
             px = (anchor[0] + base_pix[:, 0]) * stride
             py = (height - 1) - (anchor[1] + base_pix[:, 1]) * stride
             pix = jnp.stack(
@@ -358,7 +376,10 @@ def render_pose_batch(
                  jnp.ones_like(px, jnp.float32)], axis=1)
             return _rasterize_keys(coefs, aux, cok, pix, tile)
 
-        keys = jax.vmap(render_one)(tri_v, tri_ok, pose_mats, anchors)
+        keys = jax.vmap(
+            render_one, in_axes=(0, 0, 0, 0,
+                                 None if cullable is None else 0))(
+            tri_v, tri_ok, pose_mats, anchors, cullable)
 
     empty = keys == _INVALID_KEY
     depth = jnp.where(empty, 0, keys >> TRI_ID_BITS).astype(jnp.int32)

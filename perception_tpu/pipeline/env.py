@@ -105,6 +105,7 @@ class PerceptionEnv:
         self._bank_tri_verts = jnp.asarray(bank.tri_verts)
         self._bank_tri_colors = jnp.asarray(bank.tri_colors)
         self._bank_tri_valid = jnp.asarray(bank.tri_valid)
+        self._bank_backface = jnp.asarray(bank.backface_cull)
 
     # ------------------------------------------------------------------
     # Input processing
@@ -437,7 +438,8 @@ class PerceptionEnv:
                 self._bank_tri_valid,
                 jnp.asarray(poses.astype(np.float32)), jnp.asarray(ids),
                 jnp.asarray(labels), jnp.asarray(observed_total),
-                self._proj, self._scene, cfg)
+                self._proj, self._scene, cfg,
+                bank_backface=self._bank_backface)
             total = np.asarray(scores.total_cost)
             rendered = np.asarray(scores.rendered_cost)
             observed = np.asarray(scores.observed_cost)

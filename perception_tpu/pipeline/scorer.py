@@ -110,10 +110,11 @@ class PoseScores(NamedTuple):
 
 def _render_and_cloud(bank_tri_verts, bank_tri_colors, bank_tri_valid,
                       poses, model_ids, proj, scene: ObservedScene,
-                      pose_labels, cfg: ScorerConfig):
+                      pose_labels, cfg: ScorerConfig,
+                      bank_backface=None):
     out = render_pose_batch(
         bank_tri_verts, bank_tri_colors, bank_tri_valid,
-        poses, model_ids, proj,
+        poses, model_ids, proj, bank_backface=bank_backface,
         width=cfg.width, height=cfg.height, stride=cfg.stride,
         source_depth=scene.source_depth, source_label=scene.source_label,
         pose_labels=pose_labels,
@@ -160,6 +161,7 @@ def score_pose_batch(
     proj: jax.Array,             # [4, 4]
     scene: ObservedScene,
     cfg: ScorerConfig,
+    bank_backface: jax.Array | None = None,  # [M] watertight-model flags
 ) -> PoseScores:
     """Render + (refine) + score one batch of candidate poses.
 
@@ -188,11 +190,12 @@ def score_pose_batch(
             source_label=scene.source_label[::sc, ::sc])
         render, cloud = _render_and_cloud(
             bank_tri_verts, bank_tri_colors, bank_tri_valid,
-            poses, model_ids, proj, coarse_scene, pose_labels, coarse_cfg)
+            poses, model_ids, proj, coarse_scene, pose_labels, coarse_cfg,
+            bank_backface)
     else:
         render, cloud = _render_and_cloud(
             bank_tri_verts, bank_tri_colors, bank_tri_valid,
-            poses, model_ids, proj, scene, pose_labels, cfg)
+            poses, model_ids, proj, scene, pose_labels, cfg, bank_backface)
 
     adjusted = poses
     if cfg.do_icp:
@@ -247,7 +250,7 @@ def score_pose_batch(
         # Re-render and re-cloud at the refined poses (renderer.cu:1740-1817).
         render, cloud = _render_and_cloud(
             bank_tri_verts, bank_tri_colors, bank_tri_valid,
-            adjusted, model_ids, proj, scene, pose_labels, cfg)
+            adjusted, model_ids, proj, scene, pose_labels, cfg, bank_backface)
 
     backend = cfg.backend if cfg.backend != "auto" else default_backend()
     if backend == "pallas" and cfg.cost_type != 1:
