@@ -111,12 +111,12 @@ class PerceptionEnv:
     # Input processing
     # ------------------------------------------------------------------
 
-    def set_input(self, rin: RecognitionInput) -> None:
-        t0 = time.perf_counter()
-        self._input = rin
-        cam, env, perch = self.camera, self.env, self.perch
-        stride = int(perch.gpu_stride)
-
+    def _build_scene(self, rin: RecognitionInput, stride: int):
+        """Observed-scene device tensors at a given pixel stride. Point
+        capacities scale with the pixel density so finer strides don't
+        truncate clouds."""
+        cam, env = self.camera, self.env
+        cap_scale = max(1, (int(self.perch.gpu_stride) // stride) ** 2)
         h, w = rin.depth_image.shape
         assert (h, w) == (cam.height, cam.width), "depth image size mismatch"
         color = rin.color_image if rin.color_image is not None else np.zeros(
@@ -137,15 +137,15 @@ class PerceptionEnv:
                 rin.table_height + 2.0, rin.table_height - 0.01,
             ], jnp.float32)
 
-        self._observed = observed_cloud_from_depth(
+        observed = observed_cloud_from_depth(
             jnp.asarray(np.ascontiguousarray(rin.depth_image, np.float32)),
             jnp.asarray(np.ascontiguousarray(color, np.float32)),
             jnp.asarray(np.ascontiguousarray(label, np.int32)),
             fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
             width=cam.width, height=cam.height, stride=stride,
             depth_factor=float(rin.depth_factor),
-            max_points=env.max_observed_points,
-            seg_cap=env.max_points_per_label,
+            max_points=env.max_observed_points * cap_scale,
+            seg_cap=env.max_points_per_label * cap_scale,
             num_labels=env.max_labels,
             use_label_filter=use_label,
             use_bounds_filter=use_bounds,
@@ -153,44 +153,57 @@ class PerceptionEnv:
             cam_to_world=cam_to_world)
 
         # Normals for point-to-plane refinement (per segment).
-        self._seg_normals = cloud_normals(
-            self._observed.seg_xyz, self._observed.seg_valid, k=10)
+        seg_normals = cloud_normals(observed.seg_xyz, observed.seg_valid, k=10)
 
         # Strided source images in render units (int cm): the occlusion
         # comparison input (search_env.cpp:2484-2498 depth division).
         division = float(rin.depth_factor) / env.gpu_depth_factor
         src = rin.depth_image[::stride, ::stride].astype(np.float64) / division
-        self._source_depth = jnp.asarray(src.astype(np.int32))
-        self._source_label = jnp.asarray(
-            label[::stride, ::stride].astype(np.int32))
+        source_depth = jnp.asarray(src.astype(np.int32))
+        source_label = jnp.asarray(label[::stride, ::stride].astype(np.int32))
 
         # Organised observed maps (strided grid) for projective ICP
         # association (the reference's Scene_projective strategy).
         h_s, w_s = src.shape
         npix = h_s * w_s
-        obs = self._observed
-        pix_idx = np.asarray(obs.pixel)
-        valid_pts = np.asarray(obs.valid)
+        pix_idx = np.asarray(observed.pixel)
+        valid_pts = np.asarray(observed.valid)
         map_xyz = np.zeros((npix, 3), np.float32)
         map_normals = np.zeros((npix, 3), np.float32)
         map_valid = np.zeros((npix,), bool)
         map_label = np.full((npix,), -1, np.int32)
         sel = pix_idx[valid_pts]
-        map_xyz[sel] = np.asarray(obs.xyz)[valid_pts]
-        map_label[sel] = np.asarray(obs.label)[valid_pts]
+        map_xyz[sel] = np.asarray(observed.xyz)[valid_pts]
+        map_label[sel] = np.asarray(observed.label)[valid_pts]
         map_valid[sel] = True
         whole_normals = np.asarray(cloud_normals(
-            obs.xyz[None], obs.valid[None], k=10))[0]
+            observed.xyz[None], observed.valid[None], k=10))[0]
         map_normals[sel] = whole_normals[valid_pts]
-        self._scene = ObservedScene(
-            seg_xyz=obs.seg_xyz, seg_rgb=obs.seg_rgb,
-            seg_valid=obs.seg_valid, seg_normals=self._seg_normals,
+        scene = ObservedScene(
+            seg_xyz=observed.seg_xyz, seg_rgb=observed.seg_rgb,
+            seg_valid=observed.seg_valid, seg_normals=seg_normals,
             map_xyz=jnp.asarray(map_xyz),
             map_normals=jnp.asarray(map_normals),
             map_valid=jnp.asarray(map_valid),
             map_label=jnp.asarray(map_label),
-            source_depth=self._source_depth,
-            source_label=self._source_label)
+            source_depth=source_depth,
+            source_label=source_label)
+        return scene, observed, seg_normals
+
+    def set_input(self, rin: RecognitionInput) -> None:
+        t0 = time.perf_counter()
+        self._input = rin
+        stride = int(self.perch.gpu_stride)
+        self._scene, self._observed, self._seg_normals = self._build_scene(
+            rin, stride)
+        self._source_depth = self._scene.source_depth
+        self._source_label = self._scene.source_label
+        # Optional finer-stride scene for coarse-to-fine re-scoring.
+        self._scene_fine = None
+        self._observed_fine = None
+        if self.env.fine_stride and self.env.fine_stride < stride:
+            self._scene_fine, self._observed_fine, _ = self._build_scene(
+                rin, int(self.env.fine_stride))
 
         # Host-side world-frame KD-trees for validity checks
         # (SetObservation's knn / segmented_object_knn, search_env.cpp:5542+).
@@ -355,7 +368,8 @@ class PerceptionEnv:
 
         return "fused" if default_backend() == "pallas" else "nn"
 
-    def _scorer_config(self, do_icp: bool | None = None) -> ScorerConfig:
+    def _scorer_config(self, do_icp: bool | None = None,
+                       stride: int | None = None) -> ScorerConfig:
         cam, perch, env = self.camera, self.perch, self.env
         six_dof = self._input.use_external_pose_list
         if six_dof:
@@ -366,14 +380,18 @@ class PerceptionEnv:
             cost_type = COST_TYPE_3DOF_DEPTH
         if do_icp is None:
             do_icp = perch.icp_type == 3
+        stride = int(stride or perch.gpu_stride)
         roi = None
         if env.roi_size:
-            roi = (min(env.roi_size, cam.height // int(perch.gpu_stride)),
-                   min(env.roi_size, cam.width // int(perch.gpu_stride)))
+            # Keep the ROI's physical extent constant across strides.
+            scale = int(perch.gpu_stride) // stride
+            roi = (min(env.roi_size * scale, cam.height // stride),
+                   min(env.roi_size * scale, cam.width // stride))
+        cap_scale = max(1, (int(perch.gpu_stride) // stride) ** 2)
         return ScorerConfig(
-            width=cam.width, height=cam.height, stride=int(perch.gpu_stride),
+            width=cam.width, height=cam.height, stride=stride,
             fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
-            max_points_per_pose=env.max_points_per_pose,
+            max_points_per_pose=env.max_points_per_pose * cap_scale,
             cost_type=cost_type,
             sensor_resolution=perch.sensor_resolution,
             color_distance_threshold=perch.color_distance_threshold,
@@ -394,11 +412,23 @@ class PerceptionEnv:
 
     def score_object_states(
         self, states: Sequence[ObjectState], do_icp: bool | None = None,
+        fine: bool = False,
     ) -> list[ScoredState]:
-        """Score candidate single-object placements in gpu_batch_size chunks."""
+        """Score candidate single-object placements in gpu_batch_size chunks.
+
+        fine=True re-scores against the finer-stride scene (requires
+        EnvConfig.fine_stride; used by the coarse-to-fine greedy pass).
+        """
         assert self._observed is not None, "call set_input first"
-        cfg = self._scorer_config(do_icp)
-        obs = self._observed
+        if fine:
+            assert self._scene_fine is not None, "EnvConfig.fine_stride unset"
+            cfg = self._scorer_config(do_icp, stride=self.env.fine_stride)
+            obs = self._observed_fine
+            scene = self._scene_fine
+        else:
+            cfg = self._scorer_config(do_icp)
+            obs = self._observed
+            scene = self._scene
         seg_count = np.asarray(obs.seg_count, np.float32)
         total_points = float(np.asarray(obs.count))
 
@@ -438,7 +468,7 @@ class PerceptionEnv:
                 self._bank_tri_valid,
                 jnp.asarray(poses.astype(np.float32)), jnp.asarray(ids),
                 jnp.asarray(labels), jnp.asarray(observed_total),
-                self._proj, self._scene, cfg,
+                self._proj, scene, cfg,
                 bank_backface=self._bank_backface)
             total = np.asarray(scores.total_cost)
             rendered = np.asarray(scores.rendered_cost)
@@ -471,10 +501,38 @@ class PerceptionEnv:
         self, candidates: Sequence[ObjectState], do_icp: bool | None = None,
     ) -> tuple[GraphState, list[ScoredState]]:
         """Per-model argmin over scored candidates with the
-        |target - source| < 30 filter (search_env.cpp:2542-2583)."""
+        |target - source| < 30 filter (search_env.cpp:2542-2583).
+
+        With EnvConfig.fine_stride set, the best fine_top_k candidates per
+        model (post-refinement poses) are re-scored at the finer stride and
+        the final argmin uses the fine costs (coarse-to-fine; no reference
+        analogue — the reference runs one stride).
+        """
         t0 = time.perf_counter()
         scored = self.score_object_states(candidates, do_icp)
         num_models = len(self.bank.models)
+
+        if self._scene_fine is not None:
+            survivors = [su for su in scored
+                         if su.cost >= 0
+                         and abs(su.target_cost - su.source_cost) < 30]
+            top: list[ScoredState] = []
+            for mid in range(num_models):
+                per = sorted((su for su in survivors if su.state.id == mid),
+                             key=lambda su: su.cost)[:self.env.fine_top_k]
+                top.extend(per)
+            if top:
+                # Re-score the refined poses at the fine stride (no second
+                # refinement round).
+                fine_states = []
+                for su in top:
+                    pose = self.camera_to_world_pose(
+                        su.adjusted_pose_cam, su.state.id)
+                    fine_states.append(dataclasses.replace(
+                        su.state, pose=pose))
+                scored = self.score_object_states(
+                    fine_states, do_icp=False, fine=True)
+
         best: list[ScoredState | None] = [None] * num_models
         for su in scored:
             if su.cost in (-1, -2):

@@ -253,7 +253,10 @@ def score_pose_batch(
             adjusted, model_ids, proj, scene, pose_labels, cfg, bank_backface)
 
     backend = cfg.backend if cfg.backend != "auto" else default_backend()
-    if backend == "pallas" and cfg.cost_type != 1:
+    # The fused cost kernel holds [256, P] tiles in VMEM; beyond ~2k points
+    # per pose it would overflow — fall back to the composed path.
+    if (backend == "pallas" and cfg.cost_type != 1
+            and cloud.xyz.shape[1] <= 2048 and tgt_xyz.shape[1] <= 4096):
         from perception_tpu.ops.cost import compute_costs_fused
 
         costs: CostOutput = compute_costs_fused(
