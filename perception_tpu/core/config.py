@@ -140,12 +140,17 @@ class EnvConfig:
     # TPU performance knobs (no reference analogue).
     roi_size: int = 0                         # strided ROI side; 0 = full frame
     icp_render_scale: int = 1                 # coarse pre-ICP render factor (off)
-    fine_stride: int = 0                      # EXPERIMENTAL coarse-to-fine:
-                                              # re-score top candidates at this
-                                              # finer stride (0 = off; measured
-                                              # accuracy-negative on synthetic
-                                              # scenes so far - do not enable
-                                              # without re-validating)
+    fine_stride: int = 0                      # coarse-to-fine: re-score top
+                                              # candidates at this finer stride
+                                              # (0 = off). Mechanically correct
+                                              # but measured ADD-S-negative on
+                                              # synthetic scenes: finer scoring
+                                              # sharpens the visible-surface
+                                              # cost, which is ambiguous about
+                                              # hidden geometry, so plausible-
+                                              # but-wrong poses win more often
+                                              # (single-view limitation shared
+                                              # with the reference cost).
     fine_top_k: int = 8                       # candidates per model to refine
     icp_mode: str = "auto"                    # "auto" (fused on TPU, nn on
                                               # CPU) | "nn" | "fused" |
