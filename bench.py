@@ -78,7 +78,7 @@ def main() -> None:
         "batch_seconds": round(best, 4),
         "compile_seconds": round(compile_time, 1),
         "device": str(jax.devices()[0]),
-        "config": "real-scene 640x480 s8 T1024 roi32 icp_fused pallas",
+        "config": "real-scene 640x480 s8 T1024 roi32 icp_fused pallas_direct",
     }
     print(json.dumps(result))
 

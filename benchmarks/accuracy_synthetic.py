@@ -70,7 +70,9 @@ def build_env():
     env_cfg = EnvConfig(width=cam.width, height=cam.height,
                         max_points_per_pose=1024, max_observed_points=4096,
                         max_points_per_label=1024, max_labels=4,
-                        icp_downsample=2)
+                        icp_downsample=2,
+                        kernel_backend=os.environ.get("PT_KERNEL_BACKEND",
+                                                      "auto"))
     return PerceptionEnv(bank, cam, perch, env_cfg)
 
 

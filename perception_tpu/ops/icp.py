@@ -321,7 +321,7 @@ def icp_point_to_plane_batch(
         tgt_valid = jnp.take_along_axis(tgt_valid, idx, axis=1)
 
     def nn_fn(q, qv, r, rv):
-        if backend == "pallas":
+        if backend.startswith("pallas"):
             from perception_tpu.ops.pallas_knn import nn1_batch_pallas
 
             return nn1_batch_pallas(q, qv, r, rv)

@@ -1,0 +1,311 @@
+"""Fully-fused Pallas rasteriser: model bank in, packed keys out.
+
+The two-stage path (rasterizer.py setup -> pallas_raster.py kernel)
+materialises per-pose coefficient tables in HBM (~25 MB and ~30 elementwise
+passes for a 512-pose batch — several ms of bandwidth, comparable to the
+raster compute itself after culling). This kernel moves the whole
+per-triangle pipeline on-chip:
+
+    bank vertices (selected per pose via scalar-prefetch block indexing —
+    no [N, T] gather, no per-pose HBM coefficient table)
+      -> camera transform (pose scalars)
+      -> backface cull (watertight models)
+      -> projection + affine coverage/depth coefficients
+      -> per-chunk screen bbox
+      -> chunk x pixel-tile culled packed-min rasterisation
+
+Layout (the part that matters on an 8x128 VPU):
+  * the bank is stored component-major [M, 16, T] so every per-triangle
+    setup op is a [1, TT] lane vector (a first triangle-major [TT, 1]
+    attempt ran the ~150 setup ops at 1/128 lane utilisation and measured
+    2x SLOWER end-to-end than the two-stage path);
+  * setup runs once per chunk and lands in a sublane-major [T, 16] VMEM
+    scratch via one [16, TT] -> [TT, 16] transpose per chunk; chunk screen
+    bboxes go to SMEM;
+  * the raster phase is then identical to pallas_raster._raster_kernel
+    (tile-outer / chunk-inner, packed min carried in registers, culled by
+    the SMEM bboxes) reading the scratch instead of an HBM table.
+
+A pixels-on-sublanes variant that avoids the transpose was also measured
+SLOWER (10.2 vs 5.9 ms/512-pose batch): the [PIX, 1] output stores and
+full-buffer init at 1/128 lane density dominate once culling has removed
+most of the coverage work. This transpose variant measures ~4% faster than
+the two-stage path (5.65 vs 5.88 ms) while removing the ~25 MB/batch HBM
+coefficient round-trip. Semantics match rasterizer.py's setup
+(screen_vertices / triangle_coefficients; image_renderer.cuh:59-321 parity
+— see rasterizer.py docstrings for the reference mapping) except for f32
+FMA association flips at ~0.8% of silhouette-edge pixels.
+
+Inputs:
+  * verts16 [M, 16, T]: rows = (v0x v0y v0z v1x v1y v1z v2x v2y v2z,
+    valid, cullable, 5 pad rows), static per bank;
+  * pose16 [N, 8, 16]: row 0 = flattened model->camera 3x4 (metres);
+  * proj16 [8, 16]: row 0 = flattened projection rows 0..2;
+  * scalar-prefetched anchors [N, 2] and model ids [N].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from perception_tpu.ops.rasterizer import _INVALID_KEY, _MAX_DEPTH, TRI_ID_BITS
+
+TILE_PIX = 512
+TRI_CHUNK = 256
+
+
+def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
+            coef_ref, bbox_ref, *, width, height, stride, n_chunks, n_tiles,
+            tri_chunk, roi_w, tile_pix):
+    pose_i = pl.program_id(0)
+    x0 = anchor_ref[pose_i, 0]
+    y0 = anchor_ref[pose_i, 1]
+
+    p = [pose_ref[0, 0, i] for i in range(12)]    # model->camera 3x4 (m)
+    pr = [proj_ref[0, i] for i in range(12)]      # projection rows 0..2
+
+    # Phase 1: per-triangle setup, all chunks, into the sublane-major
+    # coefficient scratch (one [16, TT] -> [TT, 16] transpose per chunk).
+    def setup_chunk(k, _):
+        sl = pl.ds(k * tri_chunk, tri_chunk)
+        valid = verts_ref[0, 9:10, sl] > 0.5       # [1, TT]
+        cullable = verts_ref[0, 10:11, sl] > 0.5
+
+        def cam(ix):  # camera-frame vertex ix, metres (as setup_one)
+            vx = verts_ref[0, 3 * ix:3 * ix + 1, sl]
+            vy = verts_ref[0, 3 * ix + 1:3 * ix + 2, sl]
+            vz = verts_ref[0, 3 * ix + 2:3 * ix + 3, sl]
+            cx = p[0] * vx + p[1] * vy + p[2] * vz + p[3]
+            cy = p[4] * vx + p[5] * vy + p[6] * vz + p[7]
+            cz = p[8] * vx + p[9] * vy + p[10] * vz + p[11]
+            return cx, cy, cz
+
+        x0m, y0m, z0m = cam(0)
+        x1m, y1m, z1m = cam(1)
+        x2m, y2m, z2m = cam(2)
+
+        # Backface (camera at origin): facing iff normal . v0 < 0
+        # (rasterizer.py setup_one; exact for watertight outward meshes).
+        e1x, e1y, e1z = x1m - x0m, y1m - y0m, z1m - z0m
+        e2x, e2y, e2z = x2m - x0m, y2m - y0m, z2m - z0m
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        facing = (nx * x0m + ny * y0m + nz * z0m) < 0.0
+        ok = valid & (facing | ~cullable)
+
+        # m -> cm render units, then project (screen_vertices).
+        z0c, z1c, z2c = z0m * 100.0, z1m * 100.0, z2m * 100.0
+        ok &= (z0c > 1e-3) & (z1c > 1e-3) & (z2c > 1e-3)
+
+        def screen(xm, ym, zc):
+            xc, yc = xm * 100.0, ym * 100.0
+            clip_x = xc * pr[0] + yc * pr[1] + zc * pr[2] + pr[3]
+            clip_y = yc * pr[5] + zc * pr[6] + pr[7]
+            zdiv = jnp.where(zc > 1e-3, zc, 1.0)
+            sx = clip_x / zdiv * (width / 2.0) + width / 2.0
+            sy = clip_y / zdiv * (height / 2.0) + height / 2.0
+            return sx, sy
+
+        sx0, sy0 = screen(x0m, y0m, z0c)
+        sx1, sy1 = screen(x1m, y1m, z1c)
+        sx2, sy2 = screen(x2m, y2m, z2c)
+
+        # triangle_coefficients, inlined on [1, TT] lane vectors.
+        e20x, e20y = sx2 - sx0, sy2 - sy0
+        e10x, e10y = sx1 - sx0, sy1 - sy0
+        base = 0.5 * (e20x * e10y - e10x * e20y)
+        ok &= jnp.abs(base) > 1e-2
+        sign = jnp.where(base >= 0, 1.0, -1.0)
+        inv_base = jnp.where(ok, 1.0 / jnp.where(ok, base, 1.0), 0.0)
+
+        beta_x = -0.5 * e20y * sign
+        beta_y = 0.5 * e20x * sign
+        beta_c = 0.5 * (sx0 * e20y - sy0 * e20x) * sign
+        gamma_x = 0.5 * e10y * sign
+        gamma_y = -0.5 * e10x * sign
+        gamma_c = 0.5 * (sy0 * e10x - sx0 * e10y) * sign
+
+        iz0 = jnp.where(ok, 1.0 / jnp.where(ok, z0c, 1.0), 0.0)
+        iz1 = jnp.where(ok, 1.0 / jnp.where(ok, z1c, 1.0), 0.0)
+        iz2 = jnp.where(ok, 1.0 / jnp.where(ok, z2c, 1.0), 0.0)
+        d1, d2 = iz1 - iz0, iz2 - iz0
+        w_x = (beta_x * sign * d1 + gamma_x * sign * d2) * inv_base
+        w_y = (beta_y * sign * d1 + gamma_y * sign * d2) * inv_base
+        w_c = iz0 + (beta_c * sign * d1 + gamma_c * sign * d2) * inv_base
+
+        abs_base = jnp.where(ok, jnp.abs(base), -jnp.inf)
+        zmin = jnp.minimum(z0c, jnp.minimum(z1c, z2c))
+        zmax = jnp.maximum(z0c, jnp.maximum(z1c, z2c))
+
+        # Chunk screen bbox over valid triangles (+1 px margin), for exact
+        # tile culling (a covered sample lies inside its triangle's bbox).
+        big = jnp.float32(3e38)
+
+        def mn(*cols):
+            m = big
+            for c in cols:
+                m = jnp.minimum(m, jnp.where(ok, c, big).min())
+            return m
+
+        def mx(*cols):
+            m = -big
+            for c in cols:
+                m = jnp.maximum(m, jnp.where(ok, c, -big).max())
+            return m
+
+        bbox_ref[0, k] = mn(sx0, sx1, sx2) - 1.0
+        bbox_ref[1, k] = mx(sx0, sx1, sx2) + 1.0
+        bbox_ref[2, k] = mn(sy0, sy1, sy2) - 1.0
+        bbox_ref[3, k] = mx(sy0, sy1, sy2) + 1.0
+
+        stacked = jnp.concatenate(
+            [beta_x, beta_y, beta_c, gamma_x, gamma_y, gamma_c,
+             w_x, w_y, w_c, abs_base, zmin, zmax,
+             jnp.zeros((4, tri_chunk), jnp.float32)], axis=0)   # [16, TT]
+        coef_ref[pl.ds(k * tri_chunk, tri_chunk), :] = stacked.T
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, setup_chunk, 0)
+
+    # Phase 2: tile-outer / chunk-inner rasterisation with the running
+    # packed min in registers (identical to pallas_raster._raster_kernel,
+    # reading the scratch coefficient table).
+    tx_min = (x0 * stride).astype(jnp.float32)
+    tx_max = ((x0 + roi_w - 1) * stride).astype(jnp.float32)
+
+    def tile_body(j, _):
+        flat = j * tile_pix + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile_pix), 1)
+        px = ((x0 + flat % roi_w) * stride).astype(jnp.float32)
+        py = (height - 1 - (y0 + flat // roi_w) * stride).astype(jnp.float32)
+        r0 = (j * tile_pix) // roi_w
+        r1 = (j * tile_pix + tile_pix - 1) // roi_w
+        ty_max = (height - 1 - (y0 + r0) * stride).astype(jnp.float32)
+        ty_min = (height - 1 - (y0 + r1) * stride).astype(jnp.float32)
+
+        def chunk_body(k, best):
+            overlap = ((bbox_ref[0, k] <= tx_max)
+                       & (bbox_ref[1, k] >= tx_min)
+                       & (bbox_ref[2, k] <= ty_max)
+                       & (bbox_ref[3, k] >= ty_min))
+
+            def compute(best):
+                c = coef_ref[pl.ds(k * tri_chunk, tri_chunk), :]  # [TT, 16]
+                beta = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
+                gamma = c[:, 3:4] * px + c[:, 4:5] * py + c[:, 5:6]
+                w = c[:, 6:7] * px + c[:, 7:8] * py + c[:, 8:9]
+                alpha = c[:, 9:10] - beta - gamma
+                covered = ((alpha >= 0.0) & (beta >= 0.0) & (gamma >= 0.0)
+                           & (w > 1e-9))
+                depth = 1.0 / jnp.where(covered, w, 1.0)
+                depth = jnp.round(jnp.clip(depth, c[:, 10:11], c[:, 11:12]))
+                depth_i = jnp.clip(depth, 1.0, float(_MAX_DEPTH)).astype(
+                    jnp.int32)
+                ids = (k * tri_chunk + jax.lax.broadcasted_iota(
+                    jnp.int32, (tri_chunk, tile_pix), 0))
+                keys = jnp.where(covered, (depth_i << TRI_ID_BITS) | ids,
+                                 jnp.int32(_INVALID_KEY))
+                return jnp.minimum(best, keys.min(axis=0, keepdims=True))
+
+            return jax.lax.cond(overlap, compute, lambda b: b, best)
+
+        init = jnp.full((1, tile_pix), _INVALID_KEY, dtype=jnp.int32)
+        keys = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        out_ref[0, j, :] = keys[0, :]
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
+def pack_bank_verts(bank_tri_verts: jax.Array, bank_tri_valid: jax.Array,
+                    bank_backface: jax.Array | None) -> jax.Array:
+    """[M, 16, T] component-major static vertex pack (see module docstring)."""
+    m, t = bank_tri_valid.shape
+    comp = jnp.transpose(
+        bank_tri_verts.reshape(m, t, 9).astype(jnp.float32), (0, 2, 1))
+    valid = bank_tri_valid.astype(jnp.float32)[:, None, :]
+    if bank_backface is None:
+        cull = jnp.zeros((m, 1, t), jnp.float32)
+    else:
+        cull = jnp.broadcast_to(
+            bank_backface.astype(jnp.float32)[:, None, None], (m, 1, t))
+    pad = jnp.zeros((m, 5, t), jnp.float32)
+    return jnp.concatenate([comp, valid, cull, pad], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "stride",
+                                             "roi_shape", "interpret"))
+def rasterize_direct_pallas(
+    verts16: jax.Array,     # [M, 16, T] packed bank (pack_bank_verts)
+    pose_mats: jax.Array,   # [N, 4, 4] model->camera (m)
+    model_ids: jax.Array,   # [N] int32
+    anchors: jax.Array,     # [N, 2] int32 strided ROI origin
+    proj: jax.Array,        # [4, 4]
+    *,
+    width: int,
+    height: int,
+    stride: int,
+    roi_shape: tuple[int, int] | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed (depth << TRI_ID_BITS | tri_id) keys [N, Npix]."""
+    n = pose_mats.shape[0]
+    t = verts16.shape[2]
+    tri_chunk = min(TRI_CHUNK, t)
+    if t % tri_chunk:
+        pad = tri_chunk - t % tri_chunk
+        verts16 = jnp.pad(verts16, ((0, 0), (0, 0), (0, pad)))
+        t += pad
+    n_chunks = t // tri_chunk
+
+    if roi_shape is None:
+        roi_h, roi_w = height // stride, width // stride
+        anchors = jnp.zeros((n, 2), jnp.int32)
+    else:
+        roi_h, roi_w = roi_shape
+    npix = roi_h * roi_w
+    tile_pix = min(TILE_PIX, max(128, npix))
+    n_tiles = (npix + tile_pix - 1) // tile_pix
+
+    pose16 = jnp.zeros((n, 8, 16), jnp.float32)
+    pose16 = pose16.at[:, 0, :12].set(pose_mats[:, :3, :].reshape(n, 12))
+    proj16 = jnp.zeros((8, 16), jnp.float32)
+    proj16 = proj16.at[0, :12].set(proj[:3, :].reshape(12))
+
+    kernel = functools.partial(
+        _kernel, width=width, height=height, stride=stride,
+        n_chunks=n_chunks, n_tiles=n_tiles, tri_chunk=tri_chunk,
+        roi_w=roi_w, tile_pix=tile_pix)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # anchors, model_ids
+        grid=(n,),
+        in_specs=[
+            # Each pose's model block, selected by the prefetched ids.
+            pl.BlockSpec((1, 16, t),
+                         lambda i, anchors_ref, mid_ref: (mid_ref[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 16), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 16), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_tiles, tile_pix),
+                               lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((t, 16), jnp.float32),
+                        pltpu.SMEM((4, max(8, n_chunks)), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles, tile_pix), jnp.int32),
+        interpret=interpret,
+    )(anchors.astype(jnp.int32), model_ids.astype(jnp.int32),
+      verts16, pose16, proj16)
+    return out.reshape(n, n_tiles * tile_pix)[:, :npix]

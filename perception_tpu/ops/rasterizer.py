@@ -273,7 +273,7 @@ def render_pose_batch(
     occlusion_threshold: float = 1.0,        # cm
     use_segmentation_label: bool = False,
     tile: int = 256,
-    backend: str = "auto",                   # "pallas" | "xla" | "auto"
+    backend: str = "auto",   # "pallas_direct" | "pallas" | "xla" | "auto"
     roi_shape: tuple[int, int] | None = None,  # (roi_h, roi_w) strided window
     bank_backface: jax.Array | None = None,  # [M] bool: watertight models
 ) -> RenderOutput:
@@ -298,7 +298,12 @@ def render_pose_batch(
                 else None)                      # [N]
 
     if backend == "auto":
-        backend = default_backend()
+        # On TPU the fully-fused direct kernel wins (measured ~4% over the
+        # two-stage pallas path, and it removes the ~25 MB/batch HBM
+        # coefficient tables); accuracy parity verified (synthetic ADD-S
+        # AUC 57.90 vs 57.93 over identical scenes).
+        backend = ("pallas_direct" if default_backend() == "pallas"
+                   else "xla")
 
     if roi_shape is not None:
         out_h, out_w = roi_shape
@@ -330,7 +335,23 @@ def render_pose_batch(
         pts2, z = screen_vertices(v_cam, proj, width, height)
         return triangle_coefficients(pts2, z, ok)
 
-    if backend == "pallas":
+    if backend in ("pallas_direct", "pallas_direct_interpret"):
+        # Fully-fused path: camera transform + coefficients + raster in one
+        # kernel reading the model bank directly (no [N, T] gather, no HBM
+        # coefficient tables). The *_interpret variant runs the Pallas
+        # interpreter (CPU tests).
+        from perception_tpu.ops.pallas_raster_direct import (
+            pack_bank_verts,
+            rasterize_direct_pallas,
+        )
+
+        verts12 = pack_bank_verts(bank_tri_verts, bank_tri_valid,
+                                  bank_backface)
+        keys = rasterize_direct_pallas(
+            verts12, pose_mats, pose_model_ids, anchors, proj,
+            width=width, height=height, stride=stride, roi_shape=roi_shape,
+            interpret=backend.endswith("interpret"))
+    elif backend == "pallas":
         from perception_tpu.ops.pallas_raster import (
             pack_coefficients,
             rasterize_keys_pallas,

@@ -93,7 +93,11 @@ class ScorerConfig:
     knn_ref_tile: int = 512
     depth_factor: float = 100.0   # render depth units per metre
     roi_shape: tuple[int, int] | None = None   # (roi_h, roi_w) strided
-    backend: str = "auto"         # kernel backend: "pallas" | "xla" | "auto"
+    backend: str = "auto"         # kernel backend:
+                                  # "pallas_direct" | "pallas" | "xla" | "auto"
+                                  # (pallas_direct selects the fully-fused
+                                  # rasteriser; knn/cost kernels treat any
+                                  # pallas* value as the pallas family)
     use_clutter_mode: bool = False
     clutter_regularizer: float = 0.1
 
@@ -141,7 +145,7 @@ def _nn1(cloud_xyz, cloud_valid, tgt_xyz, tgt_valid, cfg: ScorerConfig):
     backend = cfg.backend
     if backend == "auto":
         backend = default_backend()
-    if backend == "pallas":
+    if backend.startswith("pallas"):
         from perception_tpu.ops.pallas_knn import nn1_batch_pallas
 
         return nn1_batch_pallas(cloud_xyz, cloud_valid, tgt_xyz, tgt_valid)
@@ -255,7 +259,7 @@ def score_pose_batch(
     backend = cfg.backend if cfg.backend != "auto" else default_backend()
     # The fused cost kernel holds [256, P] tiles in VMEM; beyond ~2k points
     # per pose it would overflow — fall back to the composed path.
-    if (backend == "pallas" and cfg.cost_type != 1
+    if (backend.startswith("pallas") and cfg.cost_type != 1
             and cloud.xyz.shape[1] <= 2048 and tgt_xyz.shape[1] <= 4096):
         from perception_tpu.ops.cost import compute_costs_fused
 

@@ -124,6 +124,58 @@ def test_render_roi_xla_matches_full_window():
         assert (np.asarray(roi_out.depth[i]) > 0).sum() == (fd[i] > 0).sum()
 
 
+def _setup_two_models(n_poses=6, seed=3):
+    rng = np.random.default_rng(seed)
+    v1, f1 = make_box(0.15, 0.12, 0.1)
+    v2, f2 = make_box(0.08, 0.2, 0.06)
+    bank = ModelBank.from_models(
+        [mesh_model_from_arrays("a", v1, f1),
+         mesh_model_from_arrays("b", v2, f2)], t_cap=16)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_poses, 1, 1))
+    for i in range(n_poses):
+        poses[i, :3, :3] = euler_xyz_to_matrix(*rng.uniform(-1, 1, 3))
+        poses[i, :3, 3] = [rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05),
+                           rng.uniform(0.6, 0.8)]
+    ids = np.arange(n_poses, dtype=np.int32) % 2
+    return bank, poses, ids
+
+
+def test_direct_raster_matches_xla_full_frame():
+    """Fully-fused kernel == xla path, mixed model ids, backface culling."""
+    bank, poses, ids = _setup_two_models()
+    proj = jnp.asarray(CAM.projection())
+    kwargs = dict(width=CAM.width, height=CAM.height, stride=2, tile=16,
+                  bank_backface=jnp.asarray(bank.backface_cull))
+    ref = render_pose_batch(
+        bank.tri_verts, bank.tri_colors, bank.tri_valid, poses, ids, proj,
+        backend="xla", **kwargs)
+    out = render_pose_batch(
+        bank.tri_verts, bank.tri_colors, bank.tri_valid, poses, ids, proj,
+        backend="pallas_direct_interpret", **kwargs)
+    assert (np.asarray(ref.depth) > 0).any()
+    np.testing.assert_array_equal(np.asarray(out.depth), np.asarray(ref.depth))
+    np.testing.assert_array_equal(np.asarray(out.tri_id),
+                                  np.asarray(ref.tri_id))
+
+
+def test_direct_raster_matches_xla_roi():
+    bank, poses, ids = _setup_two_models(seed=5)
+    proj = jnp.asarray(CAM.projection())
+    roi = (24, 24)
+    kwargs = dict(width=CAM.width, height=CAM.height, stride=2, tile=16,
+                  roi_shape=roi)
+    ref = render_pose_batch(
+        bank.tri_verts, bank.tri_colors, bank.tri_valid, poses, ids, proj,
+        backend="xla", **kwargs)
+    out = render_pose_batch(
+        bank.tri_verts, bank.tri_colors, bank.tri_valid, poses, ids, proj,
+        backend="pallas_direct_interpret", **kwargs)
+    np.testing.assert_array_equal(np.asarray(out.anchors),
+                                  np.asarray(ref.anchors))
+    assert (np.asarray(ref.depth) > 0).any()
+    np.testing.assert_array_equal(np.asarray(out.depth), np.asarray(ref.depth))
+
+
 def test_pallas_knn_interpret_matches_xla(rng):
     n, p, s = 2, 40, 70
     q = rng.normal(size=(n, p, 3)).astype(np.float32)
