@@ -190,6 +190,50 @@ def test_pallas_knn_interpret_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-5)
 
 
+def test_fused_icp_interpret_converges(rng):
+    """Grouped fused ICP kernel (interpret mode): recovers a known rigid
+    offset on a synthetic surface, matches the composed NN-ICP delta, and
+    handles group padding (N not a multiple of _GROUP)."""
+    from perception_tpu.ops.icp import icp_point_to_plane_batch
+    from perception_tpu.ops.pallas_icp import icp_fused_pallas
+
+    n, p, s = 5, 64, 128   # 5 poses -> padded to 8 (group of 4 x 2)
+    # Smooth height-field surface with analytic normals.
+    gx = rng.uniform(-0.1, 0.1, (n, s)).astype(np.float32)
+    gy = rng.uniform(-0.1, 0.1, (n, s)).astype(np.float32)
+    gz = (0.6 + 0.2 * gx + 0.1 * gy).astype(np.float32)
+    tgt = np.stack([gx, gy, gz], axis=-1)
+    nrm = np.tile(np.asarray([-0.2, -0.1, 1.0], np.float32) / np.sqrt(1.05),
+                  (n, s, 1))
+    tv = np.ones((n, s), bool)
+    # Source: subset of the surface shifted by a known offset.
+    true_shift = np.asarray([0.004, -0.003, 0.008], np.float32)
+    src = tgt[:, :p] - true_shift
+    sv = np.ones((n, p), bool)
+
+    delta = np.asarray(icp_fused_pallas(
+        jnp.asarray(src), jnp.asarray(sv), jnp.asarray(tgt),
+        jnp.asarray(tv), jnp.asarray(nrm),
+        max_iterations=15, max_correspondence=0.05, interpret=True))
+    # The plane normal constrains the shift along n only for this surface;
+    # check the residual along n is removed.
+    for i in range(n):
+        t_est = delta[i, :3, 3]
+        resid = np.dot(nrm[0, 0], true_shift - t_est)
+        assert abs(resid) < 5e-4, (i, t_est, resid)
+
+    ref = icp_point_to_plane_batch(
+        jnp.asarray(src), jnp.asarray(sv), jnp.asarray(tgt),
+        jnp.asarray(tv), jnp.asarray(nrm),
+        max_iterations=15, max_correspondence=0.05, crop_k=0)
+    ref_t = np.asarray(ref.delta)[:, :3, 3]
+    for i in range(n):
+        r_ref = np.dot(nrm[0, 0], true_shift - ref_t[i])
+        assert abs(r_ref) < 5e-4
+        # Both solvers agree along the constrained direction.
+        assert abs(np.dot(nrm[0, 0], delta[i, :3, 3] - ref_t[i])) < 1e-3
+
+
 def test_scorer_roi_matches_full(monkeypatch):
     """End-to-end: ROI-mode scores equal full-frame scores when the window
     covers the object."""
