@@ -72,7 +72,12 @@ def build_env():
                         max_points_per_label=1024, max_labels=4,
                         icp_downsample=2,
                         kernel_backend=os.environ.get("PT_KERNEL_BACKEND",
-                                                      "auto"))
+                                                      "auto"),
+                        roi_size=int(os.environ.get("PT_ROI_SIZE", "0")),
+                        icp_render_scale=int(
+                            os.environ.get("PT_ICP_RENDER_SCALE", "1")),
+                        icp_crop_targets=int(
+                            os.environ.get("PT_ICP_CROP_TARGETS", "256")))
     return PerceptionEnv(bank, cam, perch, env_cfg)
 
 

@@ -50,6 +50,12 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
                         max_points_per_pose=1024, max_observed_points=8192,
                         max_points_per_label=1024, max_labels=4,
                         roi_size=32, icp_mode="auto",
+                        icp_render_scale=int(
+                            __import__("os").environ.get(
+                                "PT_ICP_RENDER_SCALE", "1")),
+                        icp_crop_targets=int(
+                            __import__("os").environ.get(
+                                "PT_ICP_CROP_TARGETS", "256")),
                         kernel_backend="auto")
     env = PerceptionEnv(bank, cam, perch, env_cfg)
 

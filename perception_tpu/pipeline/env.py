@@ -403,6 +403,7 @@ class PerceptionEnv:
             icp_max_correspondence=perch.icp_max_correspondence,
             icp_downsample=env.icp_downsample,
             icp_render_scale=env.icp_render_scale,
+            icp_crop_targets=env.icp_crop_targets,
             depth_factor=env.gpu_depth_factor,
             roi_shape=roi,
             backend=env.kernel_backend,
