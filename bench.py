@@ -45,7 +45,10 @@ def main() -> None:
 
     def step(p):
         out = score_pose_batch(btv, btc, bvl, p, mids, labels, totals,
-                               proj, scene, cfg)
+                               proj, scene, cfg,
+                               bank_backface=env._bank_backface,
+                               bank_icp_samples=env._bank_icp_samples,
+                               bank_icp_normals=env._bank_icp_normals)
         return out.rendered_cost
 
     @jax.jit

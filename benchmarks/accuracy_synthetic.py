@@ -77,7 +77,8 @@ def build_env():
                         icp_render_scale=int(
                             os.environ.get("PT_ICP_RENDER_SCALE", "1")),
                         icp_crop_targets=int(
-                            os.environ.get("PT_ICP_CROP_TARGETS", "256")))
+                            os.environ.get("PT_ICP_CROP_TARGETS", "256")),
+                        icp_source=os.environ.get("PT_ICP_SOURCE", "render"))
     return PerceptionEnv(bank, cam, perch, env_cfg)
 
 

@@ -149,6 +149,19 @@ class EnvConfig:
                                               # vs 43.5% on 12 scenes).
     icp_crop_targets: int = 256               # per-pose target crop for the
                                               # fused/NN ICP sweep (0 = off)
+    icp_source: str = "render"                # "render" (reference-faithful
+                                              # pre-ICP render) | "model"
+                                              # (render-free: surface samples
+                                              # + facing-cosine mask as ICP
+                                              # source). Measured on v5e:
+                                              # "model" is +18% pipeline speed
+                                              # (23.3k vs 19.8k poses/s) at
+                                              # -0.9 ADD-S AUC and -6pp
+                                              # under-2cm over 24 scenes —
+                                              # opt-in, best for convex-ish
+                                              # meshes.
+    icp_model_samples: int = 256              # sample count for icp_source=
+                                              # "model"
     fine_stride: int = 0                      # coarse-to-fine: re-score top
                                               # candidates at this finer stride
                                               # (0 = off). Mechanically correct

@@ -575,3 +575,43 @@ class ModelBank:
 
     def index_of(self, name: str) -> int:
         return self.names.index(name)
+
+    def surface_samples(self, k: int = 256) -> tuple[np.ndarray, np.ndarray]:
+        """Deterministic area-weighted surface samples [M, k, 3] with face
+        normals [M, k, 3] (outward for winding-consistent models, see
+        `backface_cull`; arbitrary sign otherwise).
+
+        Used by the render-free ICP source mode (ScorerConfig.icp_source=
+        "model"): the pre-ICP render exists in the reference only to produce
+        a self-occlusion-aware source cloud (renderer.cu:1740-1817 renders,
+        clouds, then feeds GICP); for mostly-convex objects the front-facing
+        hemisphere test n . p < 0 is an adequate visibility proxy and skips
+        an entire render pass.
+        """
+        m_count, t_cap = self.tri_valid.shape
+        pts = np.zeros((m_count, k, 3), np.float32)
+        nrm = np.zeros((m_count, k, 3), np.float32)
+        for i in range(m_count):
+            tv = self.tri_verts[i][self.tri_valid[i]]     # [t, 3, 3]
+            cross = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+            area = 0.5 * np.linalg.norm(cross, axis=1)
+            n = cross / np.maximum(np.linalg.norm(cross, axis=1,
+                                                  keepdims=True), 1e-12)
+            cum = np.cumsum(area)
+            total = max(cum[-1], 1e-12)
+            # Stratified area-weighted triangle picks with deterministic
+            # low-discrepancy (R2 sequence) barycentric jitter — centroids
+            # alone collapse to num_triangles distinct points on low-poly
+            # meshes.
+            ticks = (np.arange(k) + 0.5) / k * total
+            sel = np.searchsorted(cum, ticks).clip(0, len(tv) - 1)
+            j = np.arange(k)
+            u = np.mod(j * 0.7548776662466927, 1.0)
+            v = np.mod(j * 0.5698402909980532, 1.0)
+            over = u + v > 1.0
+            u[over], v[over] = 1.0 - u[over], 1.0 - v[over]
+            t = tv[sel]
+            pts[i] = (t[:, 0] * (1 - u - v)[:, None] + t[:, 1] * u[:, None]
+                      + t[:, 2] * v[:, None])
+            nrm[i] = n[sel]
+        return pts, nrm

@@ -106,6 +106,9 @@ class PerceptionEnv:
         self._bank_tri_colors = jnp.asarray(bank.tri_colors)
         self._bank_tri_valid = jnp.asarray(bank.tri_valid)
         self._bank_backface = jnp.asarray(bank.backface_cull)
+        samp, snrm = bank.surface_samples(env.icp_model_samples)
+        self._bank_icp_samples = jnp.asarray(samp)
+        self._bank_icp_normals = jnp.asarray(snrm)
 
     # ------------------------------------------------------------------
     # Input processing
@@ -404,6 +407,7 @@ class PerceptionEnv:
             icp_downsample=env.icp_downsample,
             icp_render_scale=env.icp_render_scale,
             icp_crop_targets=env.icp_crop_targets,
+            icp_source=env.icp_source,
             depth_factor=env.gpu_depth_factor,
             roi_shape=roi,
             backend=env.kernel_backend,
@@ -470,7 +474,9 @@ class PerceptionEnv:
                 jnp.asarray(poses.astype(np.float32)), jnp.asarray(ids),
                 jnp.asarray(labels), jnp.asarray(observed_total),
                 self._proj, scene, cfg,
-                bank_backface=self._bank_backface)
+                bank_backface=self._bank_backface,
+                bank_icp_samples=self._bank_icp_samples,
+                bank_icp_normals=self._bank_icp_normals)
             total = np.asarray(scores.total_cost)
             rendered = np.asarray(scores.rendered_cost)
             observed = np.asarray(scores.observed_cost)

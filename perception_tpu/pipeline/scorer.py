@@ -89,6 +89,12 @@ class ScorerConfig:
                                   # stride*scale (the ICP source cloud is
                                   # downsampled anyway; replaces
                                   # icp_downsample when active)
+    icp_source: str = "render"    # "render": reference-faithful pre-ICP
+                                  # render -> visible cloud; "model": skip
+                                  # the pre-ICP render and use precomputed
+                                  # surface samples with an n.p<0 facing
+                                  # mask as the ICP source (fused/nn modes,
+                                  # requires bank_icp_samples/_normals)
     raster_tile: int = 256
     knn_ref_tile: int = 512
     depth_factor: float = 100.0   # render depth units per metre
@@ -166,6 +172,8 @@ def score_pose_batch(
     scene: ObservedScene,
     cfg: ScorerConfig,
     bank_backface: jax.Array | None = None,  # [M] watertight-model flags
+    bank_icp_samples: jax.Array | None = None,  # [M, K, 3] surface samples
+    bank_icp_normals: jax.Array | None = None,  # [M, K, 3] face normals
 ) -> PoseScores:
     """Render + (refine) + score one batch of candidate poses.
 
@@ -178,9 +186,36 @@ def score_pose_batch(
     tgt_rgb = scene.seg_rgb[labels]
     tgt_valid = scene.seg_valid[labels]
 
+    model_source = (cfg.do_icp and cfg.icp_source == "model"
+                    and bank_icp_samples is not None
+                    and cfg.icp_mode in ("fused", "nn"))
     coarse = (cfg.do_icp and cfg.icp_render_scale > 1
-              and cfg.roi_shape is not None)
-    if coarse:
+              and cfg.roi_shape is not None and not model_source)
+    if model_source:
+        # Render-free ICP source: transformed surface samples, visibility by
+        # the front-facing hemisphere test (adequate for mostly-convex
+        # objects; the reference renders purely to get a self-occlusion-aware
+        # source cloud, renderer.cu:1740-1817). Skips one full render pass.
+        render = cloud = None
+        samp = bank_icp_samples[model_ids]          # [N, K, 3]
+        snrm = bank_icp_normals[model_ids]
+        rot = poses[:, :3, :3]
+        p_cam = (jnp.einsum("nij,nkj->nki", rot, samp)
+                 + poses[:, None, :3, 3])
+        n_cam = jnp.einsum("nij,nkj->nki", rot, snrm)
+        # Facing-cosine threshold, not just the sign: grazing faces have
+        # full area weight in the sample set but ~zero projected area in a
+        # render; their bogus correspondences push the GN solve along the
+        # near-null directions of H (measured: a 2 cm offset diverged to
+        # ~1 m with the plain n.p < 0 test).
+        facing = (jnp.sum(n_cam * p_cam, axis=-1)
+                  < -0.2 * jnp.linalg.norm(p_cam, axis=-1))
+        if bank_backface is not None:
+            # Non-winding-consistent models have unsigned normals: accept
+            # every sample rather than trust the facing sign.
+            facing = facing | ~bank_backface[model_ids][:, None]
+        model_src = (p_cam, facing)
+    elif coarse:
         # Pre-ICP pass: the only consumer is the (downsampled) ICP source
         # cloud, so render it at stride*scale over a proportionally smaller
         # ROI window — same sample positions the ::icp_downsample slice
@@ -203,9 +238,12 @@ def score_pose_batch(
 
     adjusted = poses
     if cfg.do_icp:
-        ds = 1 if coarse else cfg.icp_downsample
-        src_xyz = cloud.xyz[:, ::ds]
-        src_valid = cloud.valid[:, ::ds]
+        if model_source:
+            src_xyz, src_valid = model_src
+        else:
+            ds = 1 if coarse else cfg.icp_downsample
+            src_xyz = cloud.xyz[:, ::ds]
+            src_valid = cloud.valid[:, ::ds]
         if cfg.icp_mode == "fused":
             from perception_tpu.ops.icp import crop_targets
             from perception_tpu.ops.pallas_icp import icp_fused_pallas

@@ -130,6 +130,27 @@ def test_icp_pulls_offset_candidate_to_gt(observed_env):
     assert scored[0].cost <= raw[0].cost
 
 
+def test_icp_model_source_converges():
+    """Render-free ICP source (icp_source=model): surface samples + facing
+    mask refine an offset pose to the same sub-cm floor as the rendered
+    source."""
+    import dataclasses
+
+    env = make_env()
+    env.env = dataclasses.replace(env.env, icp_source="model")
+    gt = gt_states()
+    env.set_observation_from_states(gt)
+    off = ContPose.from_quat(gt[0].pose.x + 0.015, gt[0].pose.y - 0.012,
+                             gt[0].pose.z + 0.008, 0, 0, 0, 1)
+    cand = ObjectState(id=0, symmetric=False, pose=off,
+                       segmentation_label_id=1)
+    scored = env.score_object_states([cand], do_icp=True)
+    adj = env.camera_to_world_pose(scored[0].adjusted_pose_cam, 0)
+    err = np.linalg.norm(np.array([adj.x, adj.y, adj.z])
+                         - np.array([gt[0].pose.x, gt[0].pose.y, gt[0].pose.z]))
+    assert err < 0.01, f"model-source ICP residual {err}"
+
+
 def test_validity_pruning(observed_env):
     env = observed_env
     gt = gt_states()
