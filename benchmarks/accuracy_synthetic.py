@@ -78,7 +78,9 @@ def build_env():
                             os.environ.get("PT_ICP_RENDER_SCALE", "1")),
                         icp_crop_targets=int(
                             os.environ.get("PT_ICP_CROP_TARGETS", "256")),
-                        icp_source=os.environ.get("PT_ICP_SOURCE", "render"))
+                        icp_source=os.environ.get("PT_ICP_SOURCE", "render"),
+                        icp_nn_every=int(
+                            os.environ.get("PT_ICP_NN_EVERY", "1")))
     return PerceptionEnv(bank, cam, perch, env_cfg)
 
 

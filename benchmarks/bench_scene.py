@@ -58,6 +58,8 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
                                 "PT_ICP_CROP_TARGETS", "256")),
                         icp_source=__import__("os").environ.get(
                             "PT_ICP_SOURCE", "render"),
+                        icp_nn_every=int(__import__("os").environ.get(
+                            "PT_ICP_NN_EVERY", "1")),
                         kernel_backend="auto")
     env = PerceptionEnv(bank, cam, perch, env_cfg)
 

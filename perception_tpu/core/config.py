@@ -149,6 +149,15 @@ class EnvConfig:
                                               # vs 43.5% on 12 scenes).
     icp_crop_targets: int = 256               # per-pose target crop for the
                                               # fused/NN ICP sweep (0 = off)
+    icp_nn_every: int = 1                     # fused-ICP NN re-association
+                                              # period (1 = every iteration,
+                                              # reference-faithful). Measured
+                                              # at 2 on v5e: +13% pipeline
+                                              # speed but -6.5 ADD-S AUC over
+                                              # 24 scenes (point-to-plane is
+                                              # near-linear per association,
+                                              # so skipped re-associations
+                                              # just waste iterations) — keep 1.
     icp_source: str = "render"                # "render" (reference-faithful
                                               # pre-ICP render) | "model"
                                               # (render-free: surface samples

@@ -51,7 +51,7 @@ _GROUP = 4
 
 
 def _icp_kernel(src_ref, sadd_ref, tgt_ref, nrm_ref, tadd_ref, out_ref, *,
-                g, p, s, max_iterations, max_corr_sq, damping):
+                g, p, s, max_iterations, max_corr_sq, damping, nn_every=1):
     """src [G,3,P]; sadd [G,1,P]; tgt/nrm [G,S,4]; tadd [G,S,1];
     out [G,8,128] (pose gi's delta in out[gi, 0:4, 0:4])."""
     sx = src_ref[:, 0, :]                          # [G, P]
@@ -59,55 +59,77 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, nrm_ref, tadd_ref, out_ref, *,
     sz = src_ref[:, 2, :]
     sadd = sadd_ref[:, 0, :]                       # [G, P]
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
+    idx_mask = (1 << max(1, (s - 1)).bit_length()) - 1   # low bits for index
 
     def body(carry):
         # carry: iter k (scalar), current/best transforms (12 x [G,1]),
-        # best rmse, stagnation streak, done flag (f32 0/1) — all [G,1].
-        k, cur_tf, best_tf, best_rmse, streak, done = carry
+        # best rmse, stagnation streak, done flag (f32 0/1) — all [G,1] —
+        # and the cached association (nx, ny, nz, nq, dmin) — [G, P].
+        k, cur_tf, best_tf, best_rmse, streak, done, assoc = carry
         (r00, r01, r02, r10, r11, r12, r20, r21, r22, t0, t1, t2) = cur_tf
         cx = r00 * sx + r01 * sy + r02 * sz + t0   # [G, P]
         cy = r10 * sx + r11 * sy + r12 * sz + t1
         cz = r20 * sx + r21 * sy + r22 * sz + t2
 
-        # Per-pose NN: target sets differ per pose, so the [S, P] distance
-        # tile and the one-hot plane recovery run per group member.
-        rows_nx, rows_ny, rows_nz, rows_nq, rows_dmin = [], [], [], [], []
-        for gi in range(g):
-            tx = tgt_ref[gi, :, 0:1]               # [S, 1]
-            ty = tgt_ref[gi, :, 1:2]
-            tz = tgt_ref[gi, :, 2:3]
-            nx_t = nrm_ref[gi, :, 0:1]
-            ny_t = nrm_ref[gi, :, 1:2]
-            nz_t = nrm_ref[gi, :, 2:3]
-            tadd = tadd_ref[gi, :, :]              # [S, 1]
-            # Per-target plane offset n.t (see module docstring).
-            bt = nx_t * tx + ny_t * ty + nz_t * tz
+        def associate(_):
+            # Per-pose NN: target sets differ per pose, so the [S, P]
+            # distance tile and the one-hot plane recovery run per group
+            # member.
+            rows_nx, rows_ny, rows_nz, rows_nq, rows_dmin = [], [], [], [], []
+            for gi in range(g):
+                tx = tgt_ref[gi, :, 0:1]               # [S, 1]
+                ty = tgt_ref[gi, :, 1:2]
+                tz = tgt_ref[gi, :, 2:3]
+                nx_t = nrm_ref[gi, :, 0:1]
+                ny_t = nrm_ref[gi, :, 1:2]
+                nz_t = nrm_ref[gi, :, 2:3]
+                tadd = tadd_ref[gi, :, :]              # [S, 1]
+                # Per-target plane offset n.t (see module docstring).
+                bt = nx_t * tx + ny_t * ty + nz_t * tz
 
-            cgx = cx[gi:gi + 1, :]                 # [1, P]
-            cgy = cy[gi:gi + 1, :]
-            cgz = cz[gi:gi + 1, :]
-            dx = tx - cgx                          # [S, P]
-            dy = ty - cgy
-            dz = tz - cgz
-            d = dx * dx + dy * dy + dz * dz + tadd
-            dmin = d.min(axis=0, keepdims=True)    # [1, P]
-            # One-hot of the minimum (unique winner by smallest sublane ix).
-            is_min = d <= dmin
-            first = jnp.where(is_min, sub_iota, jnp.int32(s)).min(
-                axis=0, keepdims=True)
-            onehot = (is_min & (sub_iota <= first)).astype(jnp.float32)
+                cgx = cx[gi:gi + 1, :]                 # [1, P]
+                cgy = cy[gi:gi + 1, :]
+                cgz = cz[gi:gi + 1, :]
+                dx = tx - cgx                          # [S, P]
+                dy = ty - cgy
+                dz = tz - cgz
+                d = dx * dx + dy * dy + dz * dz + tadd
+                # Packed (distance, sublane-index) min: d >= 0 so its f32
+                # bits are order-preserving as int32; the low index bits
+                # both break ties toward the smallest sublane (as the
+                # reference gather would) and let a single min produce the
+                # winner id. Clearing the low bits quantises d by ~2^-15
+                # relative — harmless for the correspondence threshold.
+                db = jax.lax.bitcast_convert_type(d, jnp.int32)
+                packed = (db & ~jnp.int32(idx_mask)) | sub_iota
+                pmin = packed.min(axis=0, keepdims=True)   # [1, P]
+                onehot = (sub_iota == (pmin & idx_mask)).astype(jnp.float32)
+                dmin = jax.lax.bitcast_convert_type(
+                    pmin & ~jnp.int32(idx_mask), jnp.float32)
 
-            rows_nx.append((onehot * nx_t).sum(axis=0, keepdims=True))
-            rows_ny.append((onehot * ny_t).sum(axis=0, keepdims=True))
-            rows_nz.append((onehot * nz_t).sum(axis=0, keepdims=True))
-            rows_nq.append((onehot * bt).sum(axis=0, keepdims=True))
-            rows_dmin.append(dmin)
+                rows_nx.append((onehot * nx_t).sum(axis=0, keepdims=True))
+                rows_ny.append((onehot * ny_t).sum(axis=0, keepdims=True))
+                rows_nz.append((onehot * nz_t).sum(axis=0, keepdims=True))
+                rows_nq.append((onehot * bt).sum(axis=0, keepdims=True))
+                rows_dmin.append(dmin)
 
-        nx = jnp.concatenate(rows_nx, axis=0)      # [G, P]
-        ny = jnp.concatenate(rows_ny, axis=0)
-        nz = jnp.concatenate(rows_nz, axis=0)
-        nq = jnp.concatenate(rows_nq, axis=0)
-        dmin_all = jnp.concatenate(rows_dmin, axis=0)
+            return (jnp.concatenate(rows_nx, axis=0),   # [G, P] each
+                    jnp.concatenate(rows_ny, axis=0),
+                    jnp.concatenate(rows_nz, axis=0),
+                    jnp.concatenate(rows_nq, axis=0),
+                    jnp.concatenate(rows_dmin, axis=0))
+
+        if nn_every > 1:
+            # Re-associate every nn_every-th iteration; in between, take a
+            # further GN step against the cached correspondences (classic
+            # coarse ICP trick — point-to-plane is nearly linear per
+            # association, so this trades some refinement quality for
+            # halved [S, P] sweeps).
+            assoc = jax.lax.cond(k % nn_every == 0, associate,
+                                 lambda _: assoc, 0)
+        else:
+            assoc = associate(0)
+        nx, ny, nz, nq, dmin_all = assoc
 
         w = ((dmin_all + sadd) <= max_corr_sq).astype(jnp.float32)  # [G, P]
 
@@ -233,14 +255,15 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, nrm_ref, tadd_ref, out_ref, *,
         all_done = new_done.min() > 0.5
         next_k = jnp.where(all_done, jnp.int32(max_iterations), k + 1)
         return (next_k, new_cur, new_best_tf, new_best_rmse, new_streak,
-                new_done)
+                new_done, assoc)
 
     ones = jnp.ones((g, 1), jnp.float32)
     zeros = jnp.zeros((g, 1), jnp.float32)
+    zgp = jnp.zeros((g, p), jnp.float32)
     ident = (ones, zeros, zeros, zeros, ones, zeros, zeros, zeros, ones,
              zeros, zeros, zeros)
     init = (jnp.int32(0), ident, ident, jnp.full((g, 1), np.inf, jnp.float32),
-            zeros, zeros)
+            zeros, zeros, (zgp, zgp, zgp, zgp, zgp))
     final_carry = jax.lax.while_loop(
         lambda c: c[0] < max_iterations, body, init)
     final = final_carry[2]
@@ -258,7 +281,8 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, nrm_ref, tadd_ref, out_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_iterations", "max_correspondence", "damping", "interpret"))
+    "max_iterations", "max_correspondence", "damping", "nn_every",
+    "interpret"))
 def icp_fused_pallas(
     src_xyz: jax.Array,      # [N, P, 3]
     src_valid: jax.Array,    # [N, P]
@@ -269,6 +293,7 @@ def icp_fused_pallas(
     max_iterations: int = 20,
     max_correspondence: float = 0.05,
     damping: float = 1e-4,
+    nn_every: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Camera-frame corrections [N, 4, 4] (pose' = delta @ pose)."""
@@ -313,7 +338,8 @@ def icp_fused_pallas(
     kernel = functools.partial(
         _icp_kernel, g=_GROUP, p=p_pad, s=s_pad,
         max_iterations=max_iterations,
-        max_corr_sq=max_correspondence * max_correspondence, damping=damping)
+        max_corr_sq=max_correspondence * max_correspondence, damping=damping,
+        nn_every=nn_every)
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // _GROUP,),

@@ -408,6 +408,7 @@ class PerceptionEnv:
             icp_render_scale=env.icp_render_scale,
             icp_crop_targets=env.icp_crop_targets,
             icp_source=env.icp_source,
+            icp_nn_every=env.icp_nn_every,
             depth_factor=env.gpu_depth_factor,
             roi_shape=roi,
             backend=env.kernel_backend,

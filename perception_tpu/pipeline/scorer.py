@@ -89,6 +89,8 @@ class ScorerConfig:
                                   # stride*scale (the ICP source cloud is
                                   # downsampled anyway; replaces
                                   # icp_downsample when active)
+    icp_nn_every: int = 1         # fused ICP: re-associate NN every Nth
+                                  # GN iteration (1 = reference-faithful)
     icp_source: str = "render"    # "render": reference-faithful pre-ICP
                                   # render -> visible cloud; "model": skip
                                   # the pre-ICP render and use precomputed
@@ -259,7 +261,8 @@ def score_pose_batch(
                 jnp.take_along_axis(scene.seg_normals[labels],
                                     cidx[..., None], axis=1),
                 max_iterations=cfg.icp_max_iterations,
-                max_correspondence=cfg.icp_max_correspondence)
+                max_correspondence=cfg.icp_max_correspondence,
+                nn_every=cfg.icp_nn_every)
         elif cfg.icp_mode == "projective":
             icp = icp_projective_batch(
                 src_xyz, src_valid,
