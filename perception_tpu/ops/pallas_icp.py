@@ -50,9 +50,10 @@ _STAGNATION_STREAK = (1e9 if os.environ.get("PT_ICP_NO_EARLY_EXIT")
 _GROUP = 4
 
 
-def _icp_kernel(src_ref, sadd_ref, tgt_ref, nrm_ref, tadd_ref, out_ref, *,
+def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
                 g, p, s, max_iterations, max_corr_sq, damping, nn_every=1):
-    """src [G,3,P]; sadd [G,1,P]; tgt/nrm [G,S,4]; tadd [G,S,1];
+    """src [G,3,P]; sadd [G,1,P]; tgt [G,S,8] packed
+    (x, y, z, nx, ny, nz, n.t, validity-additive);
     out [G,8,128] (pose gi's delta in out[gi, 0:4, 0:4])."""
     sx = src_ref[:, 0, :]                          # [G, P]
     sy = src_ref[:, 1, :]
@@ -80,12 +81,11 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, nrm_ref, tadd_ref, out_ref, *,
                 tx = tgt_ref[gi, :, 0:1]               # [S, 1]
                 ty = tgt_ref[gi, :, 1:2]
                 tz = tgt_ref[gi, :, 2:3]
-                nx_t = nrm_ref[gi, :, 0:1]
-                ny_t = nrm_ref[gi, :, 1:2]
-                nz_t = nrm_ref[gi, :, 2:3]
-                tadd = tadd_ref[gi, :, :]              # [S, 1]
-                # Per-target plane offset n.t (see module docstring).
-                bt = nx_t * tx + ny_t * ty + nz_t * tz
+                nx_t = tgt_ref[gi, :, 3:4]
+                ny_t = tgt_ref[gi, :, 4:5]
+                nz_t = tgt_ref[gi, :, 5:6]
+                bt = tgt_ref[gi, :, 6:7]   # precomputed plane offset n.t
+                tadd = tgt_ref[gi, :, 7:8]             # [S, 1]
 
                 cgx = cx[gi:gi + 1, :]                 # [1, P]
                 cgy = cy[gi:gi + 1, :]
@@ -280,15 +280,28 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, nrm_ref, tadd_ref, out_ref, *,
     out_ref[:, :, :] = out
 
 
+def pack_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
+                 tgt_normals: jax.Array) -> jax.Array:
+    """[..., S, 8] packed target rows for icp_fused_pallas:
+    (x, y, z, nx, ny, nz, n.t, 0-or-inf validity additive). Pack once per
+    scene/segment and gather the packed rows — one gather instead of
+    three, and the plane offset n.t is computed once instead of per
+    kernel iteration."""
+    bt = jnp.sum(tgt_normals * tgt_xyz, axis=-1, keepdims=True)
+    tadd = jnp.where(tgt_valid, 0.0, jnp.inf).astype(
+        jnp.float32)[..., None]
+    return jnp.concatenate(
+        [tgt_xyz, tgt_normals, bt, tadd], axis=-1).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "max_iterations", "max_correspondence", "damping", "nn_every",
     "interpret"))
 def icp_fused_pallas(
     src_xyz: jax.Array,      # [N, P, 3]
     src_valid: jax.Array,    # [N, P]
-    tgt_xyz: jax.Array,      # [N, S, 3] (pre-cropped per pose)
-    tgt_valid: jax.Array,    # [N, S]
-    tgt_normals: jax.Array,  # [N, S, 3]
+    tgt_packed: jax.Array,   # [N, S, 8] pre-cropped packed targets
+                             # (pack_targets)
     *,
     max_iterations: int = 20,
     max_correspondence: float = 0.05,
@@ -298,7 +311,7 @@ def icp_fused_pallas(
 ) -> jax.Array:
     """Camera-frame corrections [N, 4, 4] (pose' = delta @ pose)."""
     n, p, _ = src_xyz.shape
-    s = tgt_xyz.shape[1]
+    s = tgt_packed.shape[1]
     # Pad P to lanes, S to sublanes, N to the pose group size.
     p_pad = ((p + 127) // 128) * 128
     s_pad = ((s + 7) // 8) * 8
@@ -312,17 +325,11 @@ def icp_fused_pallas(
         sadd = jnp.pad(sadd, ((0, 0), (0, 0), (0, p_pad - p)),
                        constant_values=jnp.inf)
 
-    def pad_s(x, fill=0.0):
-        if s_pad == s:
-            return x
-        return jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)),
-                       constant_values=fill)
-
-    tgt4 = pad_s(jnp.pad(tgt_xyz, ((0, 0), (0, 0), (0, 1))))
-    nrm4 = pad_s(jnp.pad(tgt_normals, ((0, 0), (0, 0), (0, 1))))
-    tadd = pad_s(
-        jnp.where(tgt_valid, 0.0, jnp.inf).astype(jnp.float32)[..., None],
-        fill=jnp.inf)
+    tgt8 = tgt_packed
+    if s_pad != s:
+        # Pad rows get an inf validity additive so they never win the NN.
+        tgt8 = jnp.pad(tgt8, ((0, 0), (0, s_pad - s), (0, 0)))
+        tgt8 = tgt8.at[:, s:, 7].set(jnp.inf)
 
     if n_pad != n:
         # Padded poses have no valid sources -> ok=False -> identity delta,
@@ -330,10 +337,8 @@ def icp_fused_pallas(
         src_t = jnp.pad(src_t, ((0, n_pad - n), (0, 0), (0, 0)))
         sadd = jnp.pad(sadd, ((0, n_pad - n), (0, 0), (0, 0)),
                        constant_values=jnp.inf)
-        tgt4 = jnp.pad(tgt4, ((0, n_pad - n), (0, 0), (0, 0)))
-        nrm4 = jnp.pad(nrm4, ((0, n_pad - n), (0, 0), (0, 0)))
-        tadd = jnp.pad(tadd, ((0, n_pad - n), (0, 0), (0, 0)),
-                       constant_values=jnp.inf)
+        tgt8 = jnp.pad(tgt8, ((0, n_pad - n), (0, 0), (0, 0)))
+        tgt8 = tgt8.at[n:, :, 7].set(jnp.inf)
 
     kernel = functools.partial(
         _icp_kernel, g=_GROUP, p=p_pad, s=s_pad,
@@ -348,16 +353,12 @@ def icp_fused_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_GROUP, 1, p_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_GROUP, s_pad, 4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_GROUP, s_pad, 4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_GROUP, s_pad, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((_GROUP, s_pad, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_GROUP, 8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 8, 128), jnp.float32),
         interpret=interpret,
-    )(src_t, sadd, tgt4, nrm4, tadd)
+    )(src_t, sadd, tgt8)
     return out[:n, :4, :4]

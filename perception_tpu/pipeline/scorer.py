@@ -254,12 +254,15 @@ def score_pose_batch(
             centers = (jnp.sum(src_xyz * src_valid[..., None], axis=1)
                        / jnp.maximum(src_valid.sum(axis=1), 1)[:, None])
             cidx = crop_targets(tgt_xyz, tgt_valid, centers, k)
+            # Pack targets per segment (cheap: [L, S, 8]) so the crop is a
+            # single gather instead of three.
+            from perception_tpu.ops.pallas_icp import pack_targets
+
+            seg_pk = pack_targets(scene.seg_xyz, scene.seg_valid,
+                                  scene.seg_normals)[labels]
             delta_mat = icp_fused_pallas(
                 src_xyz, src_valid,
-                jnp.take_along_axis(tgt_xyz, cidx[..., None], axis=1),
-                jnp.take_along_axis(tgt_valid, cidx, axis=1),
-                jnp.take_along_axis(scene.seg_normals[labels],
-                                    cidx[..., None], axis=1),
+                jnp.take_along_axis(seg_pk, cidx[..., None], axis=1),
                 max_iterations=cfg.icp_max_iterations,
                 max_correspondence=cfg.icp_max_correspondence,
                 nn_every=cfg.icp_nn_every)

@@ -195,7 +195,7 @@ def test_fused_icp_interpret_converges(rng):
     offset on a synthetic surface, matches the composed NN-ICP delta, and
     handles group padding (N not a multiple of _GROUP)."""
     from perception_tpu.ops.icp import icp_point_to_plane_batch
-    from perception_tpu.ops.pallas_icp import icp_fused_pallas
+    from perception_tpu.ops.pallas_icp import icp_fused_pallas, pack_targets
 
     n, p, s = 5, 64, 128   # 5 poses -> padded to 8 (group of 4 x 2)
     # Smooth height-field surface with analytic normals.
@@ -212,8 +212,8 @@ def test_fused_icp_interpret_converges(rng):
     sv = np.ones((n, p), bool)
 
     delta = np.asarray(icp_fused_pallas(
-        jnp.asarray(src), jnp.asarray(sv), jnp.asarray(tgt),
-        jnp.asarray(tv), jnp.asarray(nrm),
+        jnp.asarray(src), jnp.asarray(sv),
+        pack_targets(jnp.asarray(tgt), jnp.asarray(tv), jnp.asarray(nrm)),
         max_iterations=15, max_correspondence=0.05, interpret=True))
     # The plane normal constrains the shift along n only for this surface;
     # check the residual along n is removed.
