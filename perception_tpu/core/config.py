@@ -163,8 +163,8 @@ class EnvConfig:
                                               # (render-free: surface samples
                                               # + facing-cosine mask as ICP
                                               # source). Measured on v5e:
-                                              # "model" is +18% pipeline speed
-                                              # (23.3k vs 19.8k poses/s) at
+                                              # "model" is +22% pipeline speed
+                                              # (29.9k vs 24.5k poses/s) at
                                               # -0.9 ADD-S AUC and -6pp
                                               # under-2cm over 24 scenes —
                                               # opt-in, best for convex-ish
