@@ -29,6 +29,8 @@ BASELINE_POSES_PER_SEC = 100_000.0
 
 
 def main() -> None:
+    from perception_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -58,6 +58,8 @@ def _resolve(base: str, path: str) -> str:
 
 
 def cmd_localize(args: argparse.Namespace) -> int:
+    from perception_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import yaml
 
     from perception_tpu.core.config import CameraIntrinsics, EnvConfig, PerchConfig
@@ -103,14 +105,35 @@ def cmd_localize(args: argparse.Namespace) -> int:
     cam_to_world = np.asarray(
         inp.get("cam_to_world", np.eye(4).tolist()), np.float64)
 
+    seg_names = inp.get("segmented_object_names", [s.name for s in specs])
+    # External-detection mask modes (reference mask_type posecnn/mask_rcnn):
+    # a PoseCNN results .mat or a COCO detections json supplies the instance
+    # mask + per-object names instead of a painted label image.
+    if inp.get("posecnn_mat"):
+        from perception_tpu.io.masks import load_posecnn_mat
+
+        det = load_posecnn_mat(_resolve(base, inp["posecnn_mat"]),
+                               inp.get("class_list", [s.name for s in specs]))
+        label, seg_names = det.label_mask(required_objects=seg_names)
+    elif inp.get("detections_json"):
+        from perception_tpu.io.masks import load_coco_detections
+
+        det = load_coco_detections(
+            _resolve(base, inp["detections_json"]),
+            class_list=inp.get("class_list", [s.name for s in specs]),
+            image_id=inp.get("detections_image_id"),
+            file_name=inp.get("color_image"),
+            height=depth.shape[0], width=depth.shape[1],
+            score_threshold=float(inp.get("detection_threshold", 0.0)))
+        label, seg_names = det.label_mask(required_objects=seg_names)
+
     rin = RecognitionInput(
         depth_image=depth.astype(np.float64),
         color_image=None if color is None else color.astype(np.float32),
         label_mask=None if label is None else label.astype(np.int32),
         depth_factor=float(inp.get("depth_factor", 100.0)),
         cam_to_world=cam_to_world,
-        segmented_object_names=inp.get("segmented_object_names",
-                                       [s.name for s in specs]),
+        segmented_object_names=seg_names,
         x_min=inp.get("x_min", -1.0), x_max=inp.get("x_max", 1.0),
         y_min=inp.get("y_min", -1.0), y_max=inp.get("y_max", 1.0),
         table_height=inp.get("table_height", 0.0),

@@ -547,6 +547,15 @@ class ModelBank:
     def from_models(cls, models: list[MeshModel], t_cap: int | None = None) -> "ModelBank":
         if t_cap is None:
             t_cap = max(m.num_triangles for m in models)
+        # The rasterisers pack (depth << TRI_ID_BITS | tri_id) into one int32
+        # key; a triangle id >= MAX_TRIS would silently corrupt the depth
+        # bits in all three backends.
+        from perception_tpu.ops.rasterizer import MAX_TRIS
+        if t_cap > MAX_TRIS:
+            raise ValueError(
+                f"t_cap={t_cap} exceeds the rasterizer's packed-key triangle "
+                f"capacity MAX_TRIS={MAX_TRIS}; decimate models harder "
+                "(target_triangles) or lower max_triangles_per_model")
         m_count = len(models)
         tri_verts = np.zeros((m_count, t_cap, 3, 3), dtype=np.float32)
         tri_colors = np.zeros((m_count, t_cap, 3), dtype=np.float32)

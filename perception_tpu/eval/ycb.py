@@ -50,6 +50,7 @@ class YCBFrame:
     label: np.ndarray          # [H, W] uint8 class ids
     gt_poses: dict[str, np.ndarray]   # name -> [4, 4] model->camera
     intrinsics: CameraIntrinsics
+    class_list: list[str] | None = None   # label-image class-id order
 
 
 class YCBVideoDataset:
@@ -96,7 +97,8 @@ class YCBVideoDataset:
             mat[:3, :] = rt[:, :, i]
             gt[self.classes[ci - 1]] = mat
         return YCBFrame(scene=scene, frame=frame, color=color, depth=depth,
-                        label=np.asarray(label), gt_poses=gt, intrinsics=cam)
+                        label=np.asarray(label), gt_poses=gt, intrinsics=cam,
+                        class_list=self.classes)
 
 
 def mask_from_labels(label_img: np.ndarray, class_ids: list[int]) -> np.ndarray:
@@ -171,14 +173,48 @@ def evaluate_frame(
     object_names: list[str] | None = None,
     num_samples: int = 60,
     output_dir: str | None = None,
+    mask_mode: str = "gt",
+    posecnn_root: str | None = None,
+    detections_json: str | None = None,
 ) -> FrameResult:
-    """Run greedy recognition on one frame and score ADD/ADD-S vs GT."""
+    """Run greedy recognition on one frame and score ADD/ADD-S vs GT.
+
+    mask_mode selects the reference's mask sources (fat_pose_image.py
+    mask_type): "gt" uses the frame's GT label image; "posecnn" reads
+    `<posecnn_root>/<NNNNNN>.mat` PoseCNN results (get_posecnn_mask:1322);
+    "detections" reads MaskRCNN-style COCO detections from detections_json.
+    """
     from perception_tpu.pipeline.env import RecognitionInput
 
     names = object_names or [n for n in frame.gt_poses
                              if n in recognizer.bank.names]
-    class_ids = [recognizer_class_id(recognizer, frame, n) for n in names]
-    instance_mask = mask_from_labels(frame.label, class_ids)
+    if mask_mode == "gt":
+        class_ids = [recognizer_class_id(recognizer, frame, n) for n in names]
+        instance_mask = mask_from_labels(frame.label, class_ids)
+    else:
+        from perception_tpu.io.masks import (
+            load_coco_detections,
+            load_posecnn_mat,
+        )
+
+        class_list = frame.class_list or getattr(frame, "_class_list", None)
+        if mask_mode == "posecnn":
+            if posecnn_root is None:
+                raise ValueError("mask_mode='posecnn' needs posecnn_root")
+            det = load_posecnn_mat(
+                os.path.join(posecnn_root, f"{int(frame.frame):06d}.mat"),
+                class_list)
+        elif mask_mode == "detections":
+            if detections_json is None:
+                raise ValueError(
+                    "mask_mode='detections' needs detections_json")
+            det = load_coco_detections(
+                detections_json, class_list=class_list,
+                file_name=f"{frame.scene}/{frame.frame}-color.png",
+                height=frame.color.shape[0], width=frame.color.shape[1])
+        else:
+            raise ValueError(f"unknown mask_mode {mask_mode!r}")
+        instance_mask, names = det.label_mask(required_objects=names)
 
     cam_to_world = np.eye(4)
     rin = RecognitionInput(
@@ -224,12 +260,15 @@ def evaluate_frame(
 
 def recognizer_class_id(recognizer, frame: YCBFrame, name: str) -> int:
     """Class id of `name` in the frame's label image (YCB: classes.txt
-    order, 1-based)."""
-    if hasattr(frame, "_class_list"):
-        return frame._class_list.index(name) + 1
-    # Default: infer from gt ordering is unsafe; expect the dataset's class
-    # list attached by the caller.
-    raise ValueError("frame needs _class_list (set by run_dataset)")
+    order, 1-based). The class list rides on the frame (load_frame sets it);
+    a legacy `_class_list` attribute is honoured for old callers."""
+    class_list = frame.class_list or getattr(frame, "_class_list", None)
+    if class_list is not None:
+        return class_list.index(name) + 1
+    # Inferring from gt ordering would be unsafe; require the dataset's
+    # class list on the frame.
+    raise ValueError("frame.class_list is unset (load_frame populates it; "
+                     "set it explicitly for hand-built frames)")
 
 
 def run_dataset(
@@ -238,6 +277,7 @@ def run_dataset(
     max_frames: int | None = None,
     num_samples: int = 60,
     output_root: str | None = None,
+    **mask_kwargs,
 ) -> dict:
     """Full keyframe sweep -> per-object and overall AUC (run_ycb_6d)."""
     per_object: dict[str, list[float]] = {}
@@ -247,11 +287,10 @@ def run_dataset(
         frames = frames[:max_frames]
     for scene, fid in frames:
         frame = dataset.load_frame(scene, fid)
-        frame._class_list = dataset.classes
         out_dir = (os.path.join(output_root, f"{scene}_{fid}")
                    if output_root else None)
         res = evaluate_frame(recognizer, frame, num_samples=num_samples,
-                             output_dir=out_dir)
+                             output_dir=out_dir, **mask_kwargs)
         runtimes.append(res.runtime)
         for name, err in res.errors.items():
             per_object.setdefault(name, []).append(err)

@@ -63,11 +63,13 @@ double read_scalar(const uint8_t *p, int size, bool is_float) {
     double v; memcpy(&v, p, 8); return v;
   }
   // Unsigned interpretation is fine for counts/indices/colors in practice;
-  // signed small ints don't appear in mesh data we consume.
+  // signed small ints don't appear in mesh data we consume. Counts must be
+  // unsigned: a corrupt 4-byte count read as signed int32 would go negative
+  // and walk the cursor backwards past the truncation checks.
   switch (size) {
     case 1: return *p;
     case 2: { uint16_t v; memcpy(&v, p, 2); return v; }
-    case 4: { int32_t v; memcpy(&v, p, 4); return v; }
+    case 4: { uint32_t v; memcpy(&v, p, 4); return v; }
   }
   return 0;
 }
@@ -134,6 +136,10 @@ bool parse_ply(const std::string &path, Mesh *out, std::string *err) {
     }
     bool has_color = ri >= 0 && gi >= 0 && bi >= 0;
     if (is_vertex) {
+      if (xi < 0 || yi < 0 || zi < 0) {
+        *err = "vertex element missing x/y/z properties";
+        return false;
+      }
       out->verts.reserve(3 * e.count);
       if (has_color) out->colors.reserve(3 * e.count);
     }
@@ -149,7 +155,12 @@ bool parse_ply(const std::string &path, Mesh *out, std::string *err) {
             if (ptr + p.count_size > end) { *err = "truncated"; return false; }
             long n = (long)read_scalar(ptr, p.count_size, false);
             ptr += p.count_size;
-            if (ptr + n * p.item_size > end) { *err = "truncated"; return false; }
+            // Reject corrupt counts before advancing the cursor: compare as
+            // sizes (a huge n could overflow the pointer arithmetic).
+            if (n < 0 || (size_t)n > (size_t)(end - ptr) / (size_t)p.item_size) {
+              *err = "corrupt list count";
+              return false;
+            }
             for (long k = 0; k < n; ++k) {
               list_vals.push_back(
                   (long)read_scalar(ptr + k * p.item_size, p.item_size,
@@ -191,6 +202,13 @@ bool parse_ply(const std::string &path, Mesh *out, std::string *err) {
           out->colors.push_back((uint8_t)row[bi]);
         }
       } else if (is_face && list_vals.size() >= 3) {
+        long n_verts_so_far = (long)(out->verts.size() / 3);
+        for (long v : list_vals) {
+          if (v < 0 || v >= n_verts_so_far) {
+            *err = "face index out of range";
+            return false;
+          }
+        }
         for (size_t k = 1; k + 1 < list_vals.size(); ++k) {  // fan
           out->faces.push_back(list_vals[0]);
           out->faces.push_back(list_vals[k]);

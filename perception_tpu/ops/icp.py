@@ -99,9 +99,16 @@ def cloud_normals(xyz: jax.Array, valid: jax.Array, k: int = 10) -> jax.Array:
     _, idx = knn_self(xyz, valid, k=k)
     # neighbors [B, P, k, 3] = xyz[b, idx[b, p, j]]
     neighbors = jax.vmap(lambda cloud, ind: cloud[ind])(xyz, idx)
-    mean = neighbors.mean(axis=2, keepdims=True)
-    centered = neighbors - mean
-    cov = jnp.einsum("bpki,bpkj->bpij", centered, centered) / k
+    # Mask invalid neighbours: when a segment has < k+1 valid points,
+    # knn_self returns inf-distance indices whose gathered coordinates are
+    # the zero-filled invalid points; letting them into the covariance skews
+    # the normals of small-but-valid segments.
+    nb_valid = jax.vmap(lambda v, ind: v[ind])(valid, idx)  # [B, P, k]
+    wgt = nb_valid.astype(xyz.dtype)[..., None]
+    cnt = jnp.maximum(wgt.sum(axis=2, keepdims=True), 1.0)
+    mean = (neighbors * wgt).sum(axis=2, keepdims=True) / cnt
+    centered = (neighbors - mean) * wgt
+    cov = jnp.einsum("bpki,bpkj->bpij", centered, centered) / cnt
     n = smallest_eigenvector_3x3(cov)
     # Orient towards the viewpoint (origin).
     flip = jnp.sign(-jnp.sum(n * xyz, axis=-1, keepdims=True))

@@ -51,7 +51,8 @@ _GROUP = 4
 
 
 def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
-                g, p, s, max_iterations, max_corr_sq, damping, nn_every=1):
+                g, p, s, max_iterations, max_corr_sq, damping, nn_every=1,
+                rot_eps_sq=4e-6, trn_eps_sq=2.5e-7):
     """src [G,3,P]; sadd [G,1,P]; tgt [G,S,8] packed
     (x, y, z, nx, ny, nz, n.t, validity-additive);
     out [G,8,128] (pose gi's delta in out[gi, 0:4, 0:4])."""
@@ -245,7 +246,7 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
         # PT_ICP_NO_EARLY_EXIT=1 to run the full trip count.
         rot_n2 = wx * wx + wy * wy + wz * wz
         trn_n2 = xi[3] * xi[3] + xi[4] * xi[4] + xi[5] * xi[5]
-        step_small = (rot_n2 < 4e-6) & (trn_n2 < 2.5e-7)
+        step_small = (rot_n2 < rot_eps_sq) & (trn_n2 < trn_eps_sq)
         improved_sig = rmse < best_rmse - 1e-6
         new_streak = jnp.where(improved_sig, jnp.zeros_like(streak),
                                streak + 1.0)
@@ -296,7 +297,7 @@ def pack_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=(
     "max_iterations", "max_correspondence", "damping", "nn_every",
-    "interpret"))
+    "rotation_epsilon", "transformation_epsilon", "interpret"))
 def icp_fused_pallas(
     src_xyz: jax.Array,      # [N, P, 3]
     src_valid: jax.Array,    # [N, P]
@@ -307,6 +308,8 @@ def icp_fused_pallas(
     max_correspondence: float = 0.05,
     damping: float = 1e-4,
     nn_every: int = 1,
+    rotation_epsilon: float = 2e-3,
+    transformation_epsilon: float = 5e-4,
     interpret: bool = False,
 ) -> jax.Array:
     """Camera-frame corrections [N, 4, 4] (pose' = delta @ pose)."""
@@ -344,7 +347,9 @@ def icp_fused_pallas(
         _icp_kernel, g=_GROUP, p=p_pad, s=s_pad,
         max_iterations=max_iterations,
         max_corr_sq=max_correspondence * max_correspondence, damping=damping,
-        nn_every=nn_every)
+        nn_every=nn_every,
+        rot_eps_sq=rotation_epsilon * rotation_epsilon,
+        trn_eps_sq=transformation_epsilon * transformation_epsilon)
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // _GROUP,),

@@ -64,6 +64,7 @@ class MHAStarPlanner:
             self._per_model[mid] = \
                 self._per_model[mid][:max_successors_per_model]
         self._counter = itertools.count()
+        self._h_inad_mins: dict[int, dict[int, float]] = {}
 
     # -- heuristics ----------------------------------------------------
 
@@ -74,14 +75,16 @@ class MHAStarPlanner:
     def _h_inad(self, idx: int, node: _Node) -> float:
         """Inadmissible queue idx: mean detection-heuristic value over the
         cheapest candidate of each unplaced model (reference: heuristic of
-        the state's last object; extended to remaining work)."""
-        h_fn = self._heuristics[idx]
-        total = 0.0
-        for mid, cands in self._per_model.items():
-            if mid in node.placed_ids:
-                continue
-            total += min(h_fn(c) for c in cands)
-        return total
+        the state's last object; extended to remaining work).
+
+        The value depends only on (idx, placed_ids); the per-model minima
+        are additive, so precompute them once and sum — O(models) per push
+        instead of O(models x candidates)."""
+        mins = self._h_inad_mins.setdefault(idx, {
+            mid: min(self._heuristics[idx](c) for c in cands)
+            for mid, cands in self._per_model.items()})
+        return sum(v for mid, v in mins.items()
+                   if mid not in node.placed_ids)
 
     # -- expansion -----------------------------------------------------
 
@@ -160,6 +163,19 @@ class MHAStarPlanner:
                         rr = (rr + step + 1) % (len(open_q) - 1)
                         break
             _, _, node = heapq.heappop(open_q[qi])
+
+            # SMHA* closed lists: every push lands in all queues, so a node
+            # would otherwise be re-expanded once per queue (each duplicate
+            # is a full batched device dispatch). Anchor expansion closes a
+            # node everywhere; inadmissible expansion closes it for the
+            # inadmissible queues only (Aine et al.).
+            if node.closed_anchor or (qi > 0 and node.closed_inad):
+                continue
+            if qi == 0:
+                node.closed_anchor = True
+                node.closed_inad = True
+            else:
+                node.closed_inad = True
 
             if node.state.num_objects == total_levels:
                 if best_goal is None or node.g < best_goal.g:

@@ -265,7 +265,9 @@ def score_pose_batch(
                 jnp.take_along_axis(seg_pk, cidx[..., None], axis=1),
                 max_iterations=cfg.icp_max_iterations,
                 max_correspondence=cfg.icp_max_correspondence,
-                nn_every=cfg.icp_nn_every)
+                nn_every=cfg.icp_nn_every,
+                rotation_epsilon=cfg.icp_rotation_epsilon,
+                transformation_epsilon=cfg.icp_transformation_epsilon)
         elif cfg.icp_mode == "projective":
             icp = icp_projective_batch(
                 src_xyz, src_valid,

@@ -63,7 +63,7 @@ class TreeSearch:
         self.heuristic = heuristic
         self.max_successors_per_model = max_successors_per_model
         self.lazy_k = lazy_k
-        self._root_costs: dict[int, int] = {}
+        self._root_costs: dict[tuple, int] = {}
         self._candidates = candidates_per_model
         self.stats = EnvStats()
 
@@ -100,6 +100,16 @@ class TreeSearch:
             return env.score_object_states(states, do_icp=False)
         finally:
             env._source_depth, env._source_label, env._scene = saved
+
+    @staticmethod
+    def _state_key(st: ObjectState) -> tuple:
+        """Value-based key for the lazy root-cost cache (keying by `id(st)`
+        silently loses all entries when callers rebuild candidate pools)."""
+        if st.external_pose_id >= 0:
+            return (st.id, st.external_pose_id)
+        p = st.pose
+        return (st.id, round(p.x, 6), round(p.y, 6), round(p.z, 6),
+                round(p.roll, 6), round(p.pitch, 6), round(p.yaw, 6))
 
     def _compose(self, node: _Node, obj: ObjectState):
         """Render obj and merge into the node's composed source images."""
@@ -145,7 +155,7 @@ class TreeSearch:
                         pool = sorted(
                             pool,
                             key=lambda s: self._root_costs.get(
-                                id(s), 10**9))[:self.lazy_k]
+                                self._state_key(s), 10**9))[:self.lazy_k]
                     cands.extend(pool)
                 if not cands:
                     continue
@@ -155,7 +165,7 @@ class TreeSearch:
                 if node.state.num_objects == 0:
                     for su, st in zip(scored, cands):
                         cost = su.cost if su.cost >= 0 else 10**9
-                        self._root_costs[id(st)] = cost
+                        self._root_costs[self._state_key(st)] = cost
                 for su in scored:
                     if su.cost < 0:
                         continue

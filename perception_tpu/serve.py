@@ -117,6 +117,8 @@ def serve(recognizer, port: int = 8765) -> HTTPServer:
 
 
 def main(argv=None) -> int:
+    from perception_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--port", type=int, default=8765)

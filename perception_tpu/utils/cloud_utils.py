@@ -167,3 +167,162 @@ def organized_cloud_from_depth(depth: np.ndarray, fx: float, fy: float,
     cloud = np.stack([x, y, z], axis=-1)
     cloud[depth <= 0] = np.nan
     return cloud
+
+
+def inpaint_depth_image(
+    organized_cloud: np.ndarray,
+    mask: np.ndarray,
+    max_range: float,
+    inpaint_radius: int = 5,
+    resize_scale: float = 0.1,
+) -> np.ndarray:
+    """Fill invalid depth pixels by Navier-Stokes image inpainting.
+
+    Mirrors perception_utils::InpaintDepthImage (perception_utils.cpp:
+    952-1046): z of the organised cloud is quantised to 8 bits over
+    [0, max_range], inpainting runs on a `resize_scale`-downscaled image for
+    speed, and only pixels that are BOTH requested (mask > 0) AND invalid in
+    the input get the inpainted value; everything else keeps its original
+    (double) depth. Returns the smoothed [H, W] float64 depth image (m).
+
+    organized_cloud: [H, W, 3] camera-frame metres with nan for invalid
+    (organized_cloud_from_depth); mask: [H, W] >0 where inpainting is wanted.
+    """
+    z = np.asarray(organized_cloud[..., 2], np.float64)
+    invalid = ~np.isfinite(z) | (z <= 0)
+    depth8 = np.zeros(z.shape, np.uint8)
+    valid_in_range = ~invalid & (z < max_range)
+    depth8[valid_in_range] = (np.minimum(z[valid_in_range], max_range)
+                              * 255.0 / max_range).astype(np.uint8)
+    inpaint_mask = ((np.asarray(mask) > 0) & invalid).astype(np.uint8)
+    smoothed = np.where(invalid, 0.0, z)
+
+    if not inpaint_mask.any():
+        return smoothed
+    try:
+        import cv2
+
+        small = cv2.resize(depth8, None, fx=resize_scale, fy=resize_scale)
+        small_mask = cv2.resize(inpaint_mask, None, fx=resize_scale,
+                                fy=resize_scale,
+                                interpolation=cv2.INTER_NEAREST)
+        filled = cv2.inpaint(small, small_mask, inpaint_radius,
+                             cv2.INPAINT_NS)
+        filled = cv2.resize(filled, (z.shape[1], z.shape[0]))
+        fill_depth = filled.astype(np.float64) * max_range / 255.0
+    except ImportError:
+        # Iterative neighbour-mean diffusion fallback (same fixed point as
+        # the Navier-Stokes solver for smooth regions).
+        fill_depth = np.where(invalid, 0.0, z)
+        known = ~invalid
+        for _ in range(64):
+            if (known | (inpaint_mask == 0)).all():
+                break
+            padded = np.pad(fill_depth, 1)
+            kpad = np.pad(known.astype(np.float64), 1)
+            acc = (padded[:-2, 1:-1] * kpad[:-2, 1:-1]
+                   + padded[2:, 1:-1] * kpad[2:, 1:-1]
+                   + padded[1:-1, :-2] * kpad[1:-1, :-2]
+                   + padded[1:-1, 2:] * kpad[1:-1, 2:])
+            cnt = (kpad[:-2, 1:-1] + kpad[2:, 1:-1]
+                   + kpad[1:-1, :-2] + kpad[1:-1, 2:])
+            grow = ~known & (inpaint_mask > 0) & (cnt > 0)
+            fill_depth[grow] = acc[grow] / cnt[grow]
+            known = known | grow
+    sel = inpaint_mask > 0
+    smoothed[sel] = fill_depth[sel]
+    return smoothed
+
+
+def range_image_planar(
+    organized_cloud: np.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Planar range image [height, width] from an organised (or loose) cloud.
+
+    Equivalent of pcl::RangeImagePlanar::createFromPointCloudWithFixedSize
+    as used by GetRangeImageFromCloud (perception_utils.cpp:139): each point
+    projects through the pinhole model and the pixel keeps the minimum
+    euclidean range. Empty pixels are -inf (PCL's unobserved convention).
+    """
+    pts = np.asarray(organized_cloud, np.float64).reshape(-1, 3)
+    ok = np.isfinite(pts).all(axis=1) & (pts[:, 2] > 0)
+    pts = pts[ok]
+    rng = np.linalg.norm(pts, axis=1)
+    u = np.round(pts[:, 0] / pts[:, 2] * fx + cx).astype(np.int64)
+    v = np.round(pts[:, 1] / pts[:, 2] * fy + cy).astype(np.int64)
+    inside = (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    flat = v[inside] * width + u[inside]
+    out = np.full(height * width, np.inf)
+    np.minimum.at(out, flat, rng[inside])
+    out[~np.isfinite(out)] = -np.inf
+    return out.reshape(height, width)
+
+
+def euclidean_clustering_organized(
+    organized_cloud: np.ndarray,
+    distance_threshold: float = 0.01,
+    min_cluster_size: int = 100,
+) -> list[np.ndarray]:
+    """Connected-component clustering on the organised pixel grid.
+
+    Mirrors pcl::OrganizedConnectedComponentSegmentation with
+    EuclideanClusterComparator (DoEuclideanClusteringOrganized,
+    perception_utils.cpp:468-530): 4-neighbour pixels join one cluster when
+    their euclidean distance is below the threshold. Returns a list of
+    [K, 2] (row, col) pixel-index arrays, largest first — O(HW alpha) via
+    union-find instead of PCL's frontier walk.
+    """
+    cloud = np.asarray(organized_cloud, np.float64)
+    h, w, _ = cloud.shape
+    valid = np.isfinite(cloud).all(axis=-1)
+    idx = np.arange(h * w)
+    parent = idx.copy()
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    def link(pairs_a, pairs_b):
+        for a, b in zip(pairs_a, pairs_b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    thr2 = distance_threshold * distance_threshold
+    # Horizontal edges.
+    d = cloud[:, 1:] - cloud[:, :-1]
+    near = (np.einsum("ijk,ijk->ij", d, d) <= thr2) \
+        & valid[:, 1:] & valid[:, :-1]
+    a = (idx.reshape(h, w)[:, :-1])[near]
+    b = (idx.reshape(h, w)[:, 1:])[near]
+    link(a, b)
+    # Vertical edges.
+    d = cloud[1:, :] - cloud[:-1, :]
+    near = (np.einsum("ijk,ijk->ij", d, d) <= thr2) \
+        & valid[1:, :] & valid[:-1, :]
+    a = (idx.reshape(h, w)[:-1, :])[near]
+    b = (idx.reshape(h, w)[1:, :])[near]
+    link(a, b)
+
+    roots = np.array([find(i) if valid.ravel()[i] else -1
+                      for i in range(h * w)])
+    clusters = []
+    for r in np.unique(roots):
+        if r < 0:
+            continue
+        members = np.nonzero(roots == r)[0]
+        if len(members) >= min_cluster_size:
+            clusters.append(
+                np.stack([members // w, members % w], axis=1))
+    clusters.sort(key=len, reverse=True)
+    return clusters
