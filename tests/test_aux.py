@@ -176,3 +176,65 @@ def test_vfh_estimator():
     pts, nrm = est._view_cloud(state)
     match = est.estimate(pts, nrm, k=3)
     assert any(m.name == "green_box" for m in match)
+
+
+def test_inpaint_depth_image():
+    from perception_tpu.utils.cloud_utils import (
+        inpaint_depth_image,
+        organized_cloud_from_depth,
+    )
+
+    h, w = 60, 80
+    depth = np.full((h, w), 800, np.uint16)   # 0.8 m plane
+    depth[20:30, 30:40] = 0                    # hole
+    cloud = organized_cloud_from_depth(depth, 100, 100, w / 2, h / 2,
+                                       depth_factor=1000.0)
+    mask = np.zeros((h, w), np.uint8)
+    mask[15:35, 25:45] = 1
+    out = inpaint_depth_image(cloud, mask, max_range=2.0)
+    # Hole filled close to the surrounding plane; valid pixels untouched.
+    assert abs(out[25, 35] - 0.8) < 0.05
+    assert abs(out[5, 5] - 0.8) < 1e-9
+    # Invalid pixels outside the requested mask stay empty.
+    depth2 = depth.copy()
+    depth2[50:55, 60:65] = 0
+    cloud2 = organized_cloud_from_depth(depth2, 100, 100, w / 2, h / 2,
+                                        depth_factor=1000.0)
+    out2 = inpaint_depth_image(cloud2, mask, max_range=2.0)
+    assert out2[52, 62] == 0.0
+
+
+def test_range_image_planar():
+    from perception_tpu.utils.cloud_utils import range_image_planar
+
+    pts = np.array([[0.0, 0.0, 1.0],    # centre pixel, range 1
+                    [0.1, 0.0, 1.0],    # off-centre, range sqrt(1.01)
+                    [0.0, 0.0, 0.5]])   # same pixel as first, closer
+    img = range_image_planar(pts, fx=100, fy=100, cx=40, cy=30,
+                             width=80, height=60)
+    assert img.shape == (60, 80)
+    assert abs(img[30, 40] - 0.5) < 1e-9       # min range wins
+    assert abs(img[30, 50] - np.sqrt(1.01)) < 1e-9
+    assert np.isneginf(img[0, 0])
+
+
+def test_euclidean_clustering_organized():
+    from perception_tpu.utils.cloud_utils import (
+        euclidean_clustering_organized,
+    )
+
+    cloud = np.full((20, 20, 3), np.nan)
+    ys, xs = np.mgrid[0:20, 0:20]
+    grid = np.stack([xs * 0.001, ys * 0.001, np.ones_like(xs, float)], -1)
+    cloud[2:8, 2:8] = grid[2:8, 2:8]             # cluster A (36 px)
+    cloud[12:18, 12:18] = grid[12:18, 12:18]     # cluster B
+    cloud[12:18, 12:18, 2] += 0.5                # offset in z from cluster A
+    clusters = euclidean_clustering_organized(cloud, 0.01, min_cluster_size=10)
+    assert len(clusters) == 2
+    assert {len(c) for c in clusters} == {36}
+    # Points separated beyond the threshold never merge even when adjacent.
+    cloud2 = np.full((4, 4, 3), np.nan)
+    cloud2[:, :2] = 0.0
+    cloud2[:, 2:] = 1.0   # 1 m jump between columns 1 and 2
+    out = euclidean_clustering_organized(cloud2, 0.01, min_cluster_size=2)
+    assert len(out) == 2
