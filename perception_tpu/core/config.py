@@ -149,6 +149,11 @@ class EnvConfig:
                                               # vs 43.5% on 12 scenes).
     icp_crop_targets: int = 256               # per-pose target crop for the
                                               # fused/NN ICP sweep (0 = off)
+    cost_crop_targets: int = 512              # cost-stage target prefix cap
+                                              # (exact for segments with <=
+                                              # cap valid points — segments
+                                              # are valid-prefix compacted;
+                                              # 0 = full segment)
     icp_nn_every: int = 1                     # fused-ICP NN re-association
                                               # period (1 = every iteration,
                                               # reference-faithful). Measured

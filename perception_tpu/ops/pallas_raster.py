@@ -10,8 +10,8 @@ Layout choices (v5e VPU is 8x128):
   * triangles on sublanes, pixels on lanes — coefficient slices broadcast
     as [TT, 1] against pixel rows [1, TILE_PIX];
   * per-triangle data packed as [T, 12] rows:
-    (bx, by, bc, gx, gy, gc, wx, wy, wc, abs_base, zmin, zmax), with
-    abs_base = -inf encoding culled triangles;
+    (bx, by, bc, gx, gy, gc, ax, ay, ac, wx, wy, wc), with
+    alpha_c = -inf encoding culled triangles;
   * pixel coordinates derived in-kernel from the flat pixel index (strided
     sample grid), so the only input is the coefficient table.
 
@@ -29,7 +29,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from perception_tpu.ops.rasterizer import _INVALID_KEY, _MAX_DEPTH, TRI_ID_BITS
+from perception_tpu.ops.rasterizer import (
+    _INVALID_KEY,
+    _MAX_DEPTH,
+    MAX_TRIS,
+    TRI_ID_BITS,
+)
 
 TILE_PIX = 512
 TRI_CHUNK = 256
@@ -44,6 +49,7 @@ def _raster_kernel(anchor_ref, coef_ref, bbox_ref, out_ref, *, width, height,
     pose = pl.program_id(0)
     x0 = anchor_ref[pose, 0]
     y0 = anchor_ref[pose, 1]
+    id_mask = jnp.int32(MAX_TRIS - 1)
 
     def tile_body(j, _):
         flat = j * tile_pix + jax.lax.broadcasted_iota(
@@ -69,27 +75,35 @@ def _raster_kernel(anchor_ref, coef_ref, bbox_ref, out_ref, *, width, height,
                        & (bbox_ref[0, k, 3] >= ty_min))
 
             def compute(best):
+                # Inverse-depth (w) max packing — see
+                # pallas_raster_direct._kernel for the derivation; depth
+                # resolution happens once per pixel in the epilogue.
                 c = coef_ref[0, pl.ds(k * tri_chunk, tri_chunk), :]  # [TT, 12]
                 beta = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
                 gamma = c[:, 3:4] * px + c[:, 4:5] * py + c[:, 5:6]
-                w = c[:, 6:7] * px + c[:, 7:8] * py + c[:, 8:9]
-                alpha = c[:, 9:10] - beta - gamma
-                covered = ((alpha >= 0.0) & (beta >= 0.0) & (gamma >= 0.0)
-                           & (w > 1e-9))
-                depth = 1.0 / jnp.where(covered, w, 1.0)
-                depth = jnp.round(jnp.clip(depth, c[:, 10:11], c[:, 11:12]))
-                depth_i = jnp.clip(depth, 1.0, float(_MAX_DEPTH)).astype(
-                    jnp.int32)
+                alpha = c[:, 6:7] * px + c[:, 7:8] * py + c[:, 8:9]
+                w = c[:, 9:10] * px + c[:, 10:11] * py + c[:, 11:12]
+                covered = jnp.minimum(alpha, jnp.minimum(beta, gamma)) >= 0.0
                 ids = (k * tri_chunk + jax.lax.broadcasted_iota(
                     jnp.int32, (tri_chunk, tile_pix), 0))
-                keys = jnp.where(covered, (depth_i << TRI_ID_BITS) | ids,
-                                 jnp.int32(_INVALID_KEY))
-                return jnp.minimum(best, keys.min(axis=0, keepdims=True))
+                wkey = ((jax.lax.bitcast_convert_type(w, jnp.int32)
+                         & ~id_mask) | (id_mask - ids))
+                cand = jnp.where(covered, wkey, 0)
+                return jnp.maximum(best, cand.max(axis=0, keepdims=True))
 
             return jax.lax.cond(overlap, compute, lambda b: b, best)
 
-        init = jnp.full((1, tile_pix), _INVALID_KEY, dtype=jnp.int32)
-        keys = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        init = jnp.zeros((1, tile_pix), dtype=jnp.int32)
+        best = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        found = best > 0
+        w_win = jax.lax.bitcast_convert_type(
+            (best & ~id_mask) | jnp.int32(1 << (TRI_ID_BITS - 1)),
+            jnp.float32)
+        tid = id_mask - (best & id_mask)
+        depth_i = jnp.clip(jnp.round(1.0 / w_win), 1.0,
+                           float(_MAX_DEPTH)).astype(jnp.int32)
+        keys = jnp.where(found, (depth_i << TRI_ID_BITS) | tid,
+                         jnp.int32(_INVALID_KEY))
         out_ref[0, j, :] = keys[0, :]
         return 0
 
@@ -121,7 +135,7 @@ def rasterize_keys_pallas(
     tri_chunk = min(TRI_CHUNK, t)
     if t % tri_chunk:
         pad = tri_chunk - t % tri_chunk
-        fill = jnp.zeros((n, pad, 12), coefs.dtype).at[:, :, 9].set(-jnp.inf)
+        fill = jnp.zeros((n, pad, 12), coefs.dtype).at[:, :, 8].set(-jnp.inf)
         coefs = jnp.concatenate([coefs, fill], axis=1)
         if tri_bboxes is not None:
             bfill = jnp.tile(
@@ -181,11 +195,18 @@ def rasterize_keys_pallas(
 
 def pack_coefficients(coefs: jax.Array, aux: jax.Array,
                       ok: jax.Array) -> jax.Array:
-    """(coefs [.., T, 3, 3], aux [.., T, 3], ok [.., T]) -> packed [.., T, 12].
+    """(coefs [.., T, 3, 3], aux [.., T, 3], ok [.., T]) -> packed [.., T, 12]
+    rows (bx, by, bc, gx, gy, gc, ax, ay, ac, wx, wy, wc), where alpha is its
+    own affine function (alpha = |base| - beta - gamma) so the kernel's
+    coverage test is a single min-sign check.
 
-    Invalid triangles get abs_base = -inf so coverage always fails.
+    Invalid triangles get alpha_c = -inf so coverage always fails.
     """
     flat = coefs.reshape(*coefs.shape[:-2], 9)
     abs_base = jnp.where(ok, aux[..., 0], -jnp.inf)[..., None]
-    return jnp.concatenate(
-        [flat, abs_base, aux[..., 1:2], aux[..., 2:3]], axis=-1)
+    alpha = jnp.concatenate([
+        -flat[..., 0:1] - flat[..., 3:4],
+        -flat[..., 1:2] - flat[..., 4:5],
+        abs_base - flat[..., 2:3] - flat[..., 5:6],
+    ], axis=-1)
+    return jnp.concatenate([flat[..., :6], alpha, flat[..., 6:9]], axis=-1)

@@ -53,7 +53,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from perception_tpu.ops.rasterizer import _INVALID_KEY, _MAX_DEPTH, TRI_ID_BITS
+from perception_tpu.ops.rasterizer import (
+    _INVALID_KEY,
+    _MAX_DEPTH,
+    MAX_TRIS,
+    TRI_ID_BITS,
+)
 
 TILE_PIX = 512
 TRI_CHUNK = 256
@@ -140,33 +145,33 @@ def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
         w_c = iz0 + (beta_c * sign * d1 + gamma_c * sign * d2) * inv_base
 
         abs_base = jnp.where(ok, jnp.abs(base), -jnp.inf)
-        zmin = jnp.minimum(z0c, jnp.minimum(z1c, z2c))
-        zmax = jnp.maximum(z0c, jnp.maximum(z1c, z2c))
+        # Alpha as its own affine function (alpha = |base| - beta - gamma):
+        # the raster loop then tests coverage with a single
+        # min(alpha, beta, gamma) >= 0 instead of three comparisons, and
+        # invalid triangles auto-fail through alpha_c = -inf.
+        alpha_x = -beta_x - gamma_x
+        alpha_y = -beta_y - gamma_y
+        alpha_c = abs_base - beta_c - gamma_c
 
         # Chunk screen bbox over valid triangles (+1 px margin), for exact
         # tile culling (a covered sample lies inside its triangle's bbox).
+        # The six coordinate columns reduce TOGETHER as one [8, TT] stacked
+        # min + one max (sublane rows reduce in parallel on the VPU) instead
+        # of 24 independent cross-lane reductions.
         big = jnp.float32(3e38)
-
-        def mn(*cols):
-            m = big
-            for c in cols:
-                m = jnp.minimum(m, jnp.where(ok, c, big).min())
-            return m
-
-        def mx(*cols):
-            m = -big
-            for c in cols:
-                m = jnp.maximum(m, jnp.where(ok, c, -big).max())
-            return m
-
-        bbox_ref[0, k] = mn(sx0, sx1, sx2) - 1.0
-        bbox_ref[1, k] = mx(sx0, sx1, sx2) + 1.0
-        bbox_ref[2, k] = mn(sy0, sy1, sy2) - 1.0
-        bbox_ref[3, k] = mx(sy0, sy1, sy2) + 1.0
+        zero2 = jnp.zeros((2, tri_chunk), jnp.float32)
+        coords = jnp.concatenate([sx0, sx1, sx2, sy0, sy1, sy2, zero2],
+                                 axis=0)                       # [8, TT]
+        mns = jnp.min(jnp.where(ok, coords, big), axis=1)      # [8]
+        mxs = jnp.max(jnp.where(ok, coords, -big), axis=1)
+        bbox_ref[0, k] = jnp.minimum(mns[0], jnp.minimum(mns[1], mns[2])) - 1.0
+        bbox_ref[1, k] = jnp.maximum(mxs[0], jnp.maximum(mxs[1], mxs[2])) + 1.0
+        bbox_ref[2, k] = jnp.minimum(mns[3], jnp.minimum(mns[4], mns[5])) - 1.0
+        bbox_ref[3, k] = jnp.maximum(mxs[3], jnp.maximum(mxs[4], mxs[5])) + 1.0
 
         stacked = jnp.concatenate(
             [beta_x, beta_y, beta_c, gamma_x, gamma_y, gamma_c,
-             w_x, w_y, w_c, abs_base, zmin, zmax,
+             alpha_x, alpha_y, alpha_c, w_x, w_y, w_c,
              jnp.zeros((4, tri_chunk), jnp.float32)], axis=0)   # [16, TT]
         coef_ref[pl.ds(k * tri_chunk, tri_chunk), :] = stacked.T
         return 0
@@ -189,6 +194,8 @@ def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
         ty_max = (height - 1 - (y0 + r0) * stride).astype(jnp.float32)
         ty_min = (height - 1 - (y0 + r1) * stride).astype(jnp.float32)
 
+        id_mask = jnp.int32(MAX_TRIS - 1)
+
         def chunk_body(k, best):
             overlap = ((bbox_ref[0, k] <= tx_max)
                        & (bbox_ref[1, k] >= tx_min)
@@ -196,27 +203,44 @@ def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
                        & (bbox_ref[3, k] >= ty_min))
 
             def compute(best):
+                # Inverse-depth (w) max packing: the nearest triangle has
+                # the LARGEST w, and positive f32 bits are order-preserving
+                # as int32, so the whole depth resolution (reciprocal,
+                # rounding, clipping, shifting) moves out of the
+                # (triangle x pixel) loop into a once-per-pixel epilogue.
+                # The low TRI_ID_BITS mantissa bits carry the COMPLEMENTED
+                # triangle id (ties resolve toward the smaller id, matching
+                # the reference's min-key tie-break) at a w quantisation of
+                # 2^-12 relative — resolved depth moves by <= 0.25 mm at
+                # 1 m, de-biased by the half-step in the epilogue.
                 c = coef_ref[pl.ds(k * tri_chunk, tri_chunk), :]  # [TT, 16]
                 beta = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
                 gamma = c[:, 3:4] * px + c[:, 4:5] * py + c[:, 5:6]
-                w = c[:, 6:7] * px + c[:, 7:8] * py + c[:, 8:9]
-                alpha = c[:, 9:10] - beta - gamma
-                covered = ((alpha >= 0.0) & (beta >= 0.0) & (gamma >= 0.0)
-                           & (w > 1e-9))
-                depth = 1.0 / jnp.where(covered, w, 1.0)
-                depth = jnp.round(jnp.clip(depth, c[:, 10:11], c[:, 11:12]))
-                depth_i = jnp.clip(depth, 1.0, float(_MAX_DEPTH)).astype(
-                    jnp.int32)
+                alpha = c[:, 6:7] * px + c[:, 7:8] * py + c[:, 8:9]
+                w = c[:, 9:10] * px + c[:, 10:11] * py + c[:, 11:12]
+                covered = jnp.minimum(alpha, jnp.minimum(beta, gamma)) >= 0.0
                 ids = (k * tri_chunk + jax.lax.broadcasted_iota(
                     jnp.int32, (tri_chunk, tile_pix), 0))
-                keys = jnp.where(covered, (depth_i << TRI_ID_BITS) | ids,
-                                 jnp.int32(_INVALID_KEY))
-                return jnp.minimum(best, keys.min(axis=0, keepdims=True))
+                wkey = ((jax.lax.bitcast_convert_type(w, jnp.int32)
+                         & ~id_mask) | (id_mask - ids))
+                cand = jnp.where(covered, wkey, 0)
+                return jnp.maximum(best, cand.max(axis=0, keepdims=True))
 
             return jax.lax.cond(overlap, compute, lambda b: b, best)
 
-        init = jnp.full((1, tile_pix), _INVALID_KEY, dtype=jnp.int32)
-        keys = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        init = jnp.zeros((1, tile_pix), dtype=jnp.int32)
+        best = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        # Epilogue: resolve the winning w back to a rounded int-cm depth key
+        # (depth << TRI_ID_BITS | tri_id), once per pixel.
+        found = best > 0
+        w_win = jax.lax.bitcast_convert_type(
+            (best & ~id_mask) | jnp.int32(1 << (TRI_ID_BITS - 1)),
+            jnp.float32)
+        tid = id_mask - (best & id_mask)
+        depth_i = jnp.clip(jnp.round(1.0 / w_win), 1.0,
+                           float(_MAX_DEPTH)).astype(jnp.int32)
+        keys = jnp.where(found, (depth_i << TRI_ID_BITS) | tid,
+                         jnp.int32(_INVALID_KEY))
         out_ref[0, j, :] = keys[0, :]
         return 0
 

@@ -407,6 +407,7 @@ class PerceptionEnv:
             icp_downsample=env.icp_downsample,
             icp_render_scale=env.icp_render_scale,
             icp_crop_targets=env.icp_crop_targets,
+            cost_crop_targets=env.cost_crop_targets,
             icp_source=env.icp_source,
             icp_nn_every=env.icp_nn_every,
             depth_factor=env.gpu_depth_factor,

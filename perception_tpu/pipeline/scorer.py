@@ -97,6 +97,13 @@ class ScorerConfig:
                                   # surface samples with an n.p<0 facing
                                   # mask as the ICP source (fused/nn modes,
                                   # requires bank_icp_samples/_normals)
+    cost_crop_targets: int = 512  # static prefix cap on the cost stage's
+                                  # target set. Segment clouds are
+                                  # valid-prefix compacted (pointcloud.py
+                                  # argsort partition), so the slice is
+                                  # EXACT whenever the segment has <= cap
+                                  # valid points; larger segments lose
+                                  # their tail (0 = full segment).
     raster_tile: int = 256
     knn_ref_tile: int = 512
     depth_factor: float = 100.0   # render depth units per metre
@@ -185,8 +192,15 @@ def score_pose_batch(
     """
     labels = jnp.clip(pose_labels, 0, scene.seg_xyz.shape[0] - 1)
     tgt_xyz = scene.seg_xyz[labels]        # [N, S, 3]
-    tgt_rgb = scene.seg_rgb[labels]
     tgt_valid = scene.seg_valid[labels]
+    # Cost-stage targets: static prefix slice (exact for segments that fit,
+    # see cost_crop_targets). Slicing at the segment level keeps the gather
+    # at [N, sc, .] instead of [N, S, .].
+    s_full = scene.seg_xyz.shape[1]
+    sc = min(cfg.cost_crop_targets or s_full, s_full)
+    cost_xyz = scene.seg_xyz[:, :sc][labels]
+    cost_rgb = scene.seg_rgb[:, :sc][labels]
+    cost_valid = scene.seg_valid[:, :sc][labels]
 
     model_source = (cfg.do_icp and cfg.icp_source == "model"
                     and bank_icp_samples is not None
@@ -248,21 +262,23 @@ def score_pose_batch(
             src_valid = cloud.valid[:, ::ds]
         if cfg.icp_mode == "fused":
             from perception_tpu.ops.icp import crop_targets
-            from perception_tpu.ops.pallas_icp import icp_fused_pallas
+            from perception_tpu.ops.pallas_icp import icp_fused_pallas, pack_targets
 
+            # Pack targets per segment (cheap: [L, S, 8]), then gather the
+            # cropped rows straight from the segment table — one [N, k, 8]
+            # gather, never materialising [N, S, 8].
             k = min(cfg.icp_crop_targets or 256, tgt_xyz.shape[1])
-            centers = (jnp.sum(src_xyz * src_valid[..., None], axis=1)
-                       / jnp.maximum(src_valid.sum(axis=1), 1)[:, None])
-            cidx = crop_targets(tgt_xyz, tgt_valid, centers, k)
-            # Pack targets per segment (cheap: [L, S, 8]) so the crop is a
-            # single gather instead of three.
-            from perception_tpu.ops.pallas_icp import pack_targets
-
             seg_pk = pack_targets(scene.seg_xyz, scene.seg_valid,
-                                  scene.seg_normals)[labels]
+                                  scene.seg_normals)
+            if k >= tgt_xyz.shape[1]:
+                tgt_pk = seg_pk[labels]
+            else:
+                centers = (jnp.sum(src_xyz * src_valid[..., None], axis=1)
+                           / jnp.maximum(src_valid.sum(axis=1), 1)[:, None])
+                cidx = crop_targets(tgt_xyz, tgt_valid, centers, k)
+                tgt_pk = seg_pk[labels[:, None], cidx]
             delta_mat = icp_fused_pallas(
-                src_xyz, src_valid,
-                jnp.take_along_axis(seg_pk, cidx[..., None], axis=1),
+                src_xyz, src_valid, tgt_pk,
                 max_iterations=cfg.icp_max_iterations,
                 max_correspondence=cfg.icp_max_correspondence,
                 nn_every=cfg.icp_nn_every,
@@ -306,18 +322,18 @@ def score_pose_batch(
     # The fused cost kernel holds [256, P] tiles in VMEM; beyond ~2k points
     # per pose it would overflow — fall back to the composed path.
     if (backend.startswith("pallas") and cfg.cost_type != 1
-            and cloud.xyz.shape[1] <= 2048 and tgt_xyz.shape[1] <= 4096):
+            and cloud.xyz.shape[1] <= 2048 and cost_xyz.shape[1] <= 4096):
         from perception_tpu.ops.cost import compute_costs_fused
 
         costs: CostOutput = compute_costs_fused(
             cloud.xyz, cloud.valid, render.pose_occluded,
-            tgt_xyz, tgt_valid, observed_total,
+            cost_xyz, cost_valid, observed_total,
             sensor_resolution=cfg.sensor_resolution)
     else:
-        dist_sq, idx = _nn1(cloud.xyz, cloud.valid, tgt_xyz, tgt_valid, cfg)
+        dist_sq, idx = _nn1(cloud.xyz, cloud.valid, cost_xyz, cost_valid, cfg)
         costs = compute_costs(
             dist_sq, idx, cloud.valid, render.pose_occluded,
-            cloud.rgb, tgt_rgb, observed_total,
+            cloud.rgb, cost_rgb, observed_total,
             sensor_resolution=cfg.sensor_resolution,
             color_distance_threshold=cfg.color_distance_threshold,
             cost_type=cfg.cost_type)

@@ -62,8 +62,13 @@ def test_pallas_raster_interpret_matches_xla():
 
     depth = np.where(np.asarray(keys) == _INVALID_KEY, 0,
                      np.asarray(keys) >> TRI_ID_BITS)
-    np.testing.assert_array_equal(
-        depth.reshape(ref.depth.shape), np.asarray(ref.depth))
+    # w-max packing: +/-1 unit on rounding-boundary pixels (see the direct-
+    # kernel parity test below); coverage must match exactly.
+    d_ref = np.asarray(ref.depth)
+    d_out = depth.reshape(d_ref.shape)
+    np.testing.assert_array_equal(d_out > 0, d_ref > 0)
+    dd = np.abs(d_out.astype(np.int64) - d_ref.astype(np.int64))
+    assert dd.max() <= 1 and (dd > 0).mean() < 0.005
 
 
 def test_pallas_raster_roi_interpret():
@@ -99,7 +104,9 @@ def test_pallas_raster_roi_interpret():
     for i in range(len(poses)):
         x0, y0 = a[i]
         window = fd[i, y0:y0 + roi[0], x0:x0 + roi[1]]
-        np.testing.assert_array_equal(depth[i], window)
+        np.testing.assert_array_equal(depth[i] > 0, window > 0)
+        dd = np.abs(depth[i].astype(np.int64) - window.astype(np.int64))
+        assert dd.max() <= 1 and (dd > 0).mean() < 0.005
 
 
 def test_render_roi_xla_matches_full_window():
@@ -153,7 +160,14 @@ def test_direct_raster_matches_xla_full_frame():
         bank.tri_verts, bank.tri_colors, bank.tri_valid, poses, ids, proj,
         backend="pallas_direct_interpret", **kwargs)
     assert (np.asarray(ref.depth) > 0).any()
-    np.testing.assert_array_equal(np.asarray(out.depth), np.asarray(ref.depth))
+    # The direct kernel resolves depth from the packed inverse-depth key
+    # (w quantised by 2^-12 relative), so int-cm rounding may flip by one
+    # unit on pixels within ~0.25 mm of a .5 cm boundary. Coverage and
+    # triangle ids must match exactly.
+    d_ref, d_out = np.asarray(ref.depth), np.asarray(out.depth)
+    np.testing.assert_array_equal(d_out > 0, d_ref > 0)
+    dd = np.abs(d_out.astype(np.int64) - d_ref.astype(np.int64))
+    assert dd.max() <= 1 and (dd > 0).mean() < 0.005
     np.testing.assert_array_equal(np.asarray(out.tri_id),
                                   np.asarray(ref.tri_id))
 
@@ -173,7 +187,11 @@ def test_direct_raster_matches_xla_roi():
     np.testing.assert_array_equal(np.asarray(out.anchors),
                                   np.asarray(ref.anchors))
     assert (np.asarray(ref.depth) > 0).any()
-    np.testing.assert_array_equal(np.asarray(out.depth), np.asarray(ref.depth))
+    # +/-1 unit on rounding-boundary pixels (see full-frame test above).
+    d_ref, d_out = np.asarray(ref.depth), np.asarray(out.depth)
+    np.testing.assert_array_equal(d_out > 0, d_ref > 0)
+    dd = np.abs(d_out.astype(np.int64) - d_ref.astype(np.int64))
+    assert dd.max() <= 1 and (dd > 0).mean() < 0.005
 
 
 def test_pallas_knn_interpret_matches_xla(rng):
