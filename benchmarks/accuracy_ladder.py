@@ -1,0 +1,86 @@
+"""Accuracy ladder: the knob-by-knob AUC table the perf claims cite.
+
+Runs benchmarks/accuracy_synthetic.py in subprocesses (fresh backend per
+rung, identical scene seeds) for:
+
+  * bounds:  gtinit (upper), noicp (lower), default;
+  * perf knobs whose speed gain must be priced in AUC: icp_source=model,
+    icp_crop=128, nn_every=2;
+  * accuracy counter-measures: color cost (CIEDE2000 gate in 6-DoF).
+
+Writes accuracy_ladder.json and prints a markdown table.
+
+Usage: python benchmarks/accuracy_ladder.py [num_scenes] [--rungs=a,b,c]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BENCH = os.path.join(HERE, "accuracy_synthetic.py")
+
+RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
+    # name -> (extra argv, extra env)
+    "default": ([], {}),
+    "gtinit": (["--mode=gtinit"], {}),
+    "noicp": (["--mode=noicp"], {}),
+    "color_cost": ([], {"PT_COLOR_COST": "1"}),
+    "icp_src_model": ([], {"PT_ICP_SOURCE": "model"}),
+    "icp_crop_128": ([], {"PT_ICP_CROP_TARGETS": "128"}),
+    "nn_every_2": ([], {"PT_ICP_NN_EVERY": "2"}),
+    "no_early_exit": ([], {"PT_ICP_NO_EARLY_EXIT": "1"}),
+    "gicp": ([], {"PT_ICP_MODE": "gicp"}),
+    "icp_nn": ([], {"PT_ICP_MODE": "nn"}),
+}
+
+
+def main() -> None:
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    scenes = pos[0] if pos else "50"
+    rungs = list(RUNGS)
+    for a in sys.argv[1:]:
+        if a.startswith("--rungs="):
+            rungs = a.split("=", 1)[1].split(",")
+
+    results = {}
+    for name in rungs:
+        argv, env_extra = RUNGS[name]
+        env = dict(os.environ, **env_extra)
+        cmd = [sys.executable, BENCH, scenes, *argv]
+        print(f"=== {name}: {' '.join(cmd)} "
+              f"{' '.join(f'{k}={v}' for k, v in env_extra.items())}",
+              flush=True)
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")]
+        if not line:
+            print(out.stdout[-2000:])
+            print(out.stderr[-2000:])
+            results[name] = {"error": out.returncode}
+            continue
+        results[name] = json.loads(line[-1])
+        r = results[name]
+        print(f"    AUC {r['value']} CI {r['ci95']} "
+              f"({r['scene_seconds_mean']}s/scene)", flush=True)
+
+    path = os.path.join(HERE, "accuracy_ladder.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+
+    print("\n| rung | ADD-S AUC | 95% CI | <2cm % | s/scene |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        if "error" in r:
+            print(f"| {name} | FAILED rc={r['error']} | | | |")
+            continue
+        print(f"| {name} | {r['value']} | [{r['ci95'][0]}, {r['ci95'][1]}] "
+              f"| {r['under_2cm_pct']} | {r['scene_seconds_mean']} |")
+    print(f"\nwrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -3,10 +3,31 @@ bench.py.
 
 Generates random multi-object scenes with the dataset generator, runs the
 full greedy pipeline (candidates from the YCB-style centroid-depth sweep x
-fibonacci rotations), and reports ADD/ADD-S AUC — the self-contained stand-
-in for the YCB-Video sweep when the dataset is not on disk.
+fibonacci rotations), and reports ADD/ADD-S AUC with a scene-level
+bootstrap confidence interval — the self-contained stand-in for the
+YCB-Video sweep when the dataset is not on disk.
 
-Usage: python benchmarks/accuracy_synthetic.py [num_scenes] [--icp/--no-icp]
+Model sets:
+  * zoo (default): textured non-convex meshes (mug, bowl, L-bracket,
+    elbow, cracker box, soup can — eval/model_zoo.py), 3 objects/scene
+    with loose separation so partial occlusion occurs naturally;
+  * simple: the round-1 box/box/cylinder set (2 objects/scene).
+
+Modes:
+  * default: full pipeline (candidate sweep + ICP + greedy selection);
+  * noicp:   cost-only lower bound (--no-icp still accepted);
+  * gtinit:  candidates = the GT poses themselves (+ the normal sweep's
+             count cap), isolating cost-function + ICP quality from
+             candidate coverage — the upper bound the sweep can reach.
+
+Env knobs (for the ladder): PT_KERNEL_BACKEND, PT_ROI_SIZE,
+PT_ICP_RENDER_SCALE, PT_ICP_CROP_TARGETS, PT_ICP_SOURCE, PT_ICP_NN_EVERY,
+PT_COLOR_COST=1 (CIEDE2000 gate in the 6-DoF cost), PT_COST_CROP_TARGETS.
+
+Usage:
+  python benchmarks/accuracy_synthetic.py [num_scenes] [--no-icp]
+      [--models=zoo|simple] [--mode=default|noicp|gtinit] [--seed=42]
+      [--objects=N]
 """
 
 from __future__ import annotations
@@ -21,7 +42,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_env():
+def _flag(name: str, default: str) -> str:
+    for a in sys.argv[1:]:
+        if a.startswith(f"--{name}="):
+            return a.split("=", 1)[1]
+    return default
+
+
+def build_env(model_set: str):
     from perception_tpu.core.config import CameraIntrinsics, EnvConfig, PerchConfig
     from perception_tpu.core.mesh import ModelBank, mesh_model_from_arrays
     from perception_tpu.pipeline.env import PerceptionEnv
@@ -29,47 +57,58 @@ def build_env():
     cam = CameraIntrinsics(fx=320.0, fy=320.0, cx=128.0, cy=96.0,
                            width=256, height=192)
 
-    def box(w, d, h):
-        x, y = w / 2, d / 2
-        verts = np.array([
-            [-x, -y, 0], [x, -y, 0], [x, y, 0], [-x, y, 0],
-            [-x, -y, h], [x, -y, h], [x, y, h], [-x, y, h]])
-        faces = np.array([
-            [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
-            [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
-            [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
-        return verts, faces
+    if model_set == "zoo":
+        from perception_tpu.eval.model_zoo import build_zoo_models
 
-    def cylinder(r, h, n=24):
-        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
-        bottom = np.c_[r * np.cos(ang), r * np.sin(ang), np.zeros(n)]
-        top = bottom + [0, 0, h]
-        verts = np.vstack([bottom, top, [[0, 0, 0]], [[0, 0, h]]])
-        faces = []
-        for i in range(n):
-            j = (i + 1) % n
-            faces += [[i, j, n + i], [j, n + j, n + i],
-                      [2 * n, j, i], [2 * n + 1, n + i, n + j]]
-        return verts, np.asarray(faces)
+        models = build_zoo_models(use_external_pose_list=True)
+        t_cap = 512
+        max_labels = 8
+    else:
+        def box(w, d, h):
+            x, y = w / 2, d / 2
+            verts = np.array([
+                [-x, -y, 0], [x, -y, 0], [x, y, 0], [-x, y, 0],
+                [-x, -y, h], [x, -y, h], [x, y, h], [-x, y, h]])
+            faces = np.array([
+                [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+                [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
+            return verts, faces
 
-    specs = [
-        ("box_a", *box(0.10, 0.07, 0.12), (200, 60, 60)),
-        ("box_b", *box(0.06, 0.06, 0.18), (60, 200, 60)),
-        ("cyl_a", *cylinder(0.04, 0.14), (60, 60, 200)),
-    ]
-    models = []
-    for name, v, f, rgb in specs:
-        colors = np.tile(rgb, (len(v), 1))
-        models.append(mesh_model_from_arrays(
-            name, v, f, colors=colors, use_external_pose_list=True))
-    bank = ModelBank.from_models(models, t_cap=128)
+        def cylinder(r, h, n=24):
+            ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+            bottom = np.c_[r * np.cos(ang), r * np.sin(ang), np.zeros(n)]
+            top = bottom + [0, 0, h]
+            verts = np.vstack([bottom, top, [[0, 0, 0]], [[0, 0, h]]])
+            faces = []
+            for i in range(n):
+                j = (i + 1) % n
+                faces += [[i, j, n + i], [j, n + j, n + i],
+                          [2 * n, j, i], [2 * n + 1, n + i, n + j]]
+            return verts, np.asarray(faces)
+
+        specs = [
+            ("box_a", *box(0.10, 0.07, 0.12), (200, 60, 60)),
+            ("box_b", *box(0.06, 0.06, 0.18), (60, 200, 60)),
+            ("cyl_a", *cylinder(0.04, 0.14), (60, 60, 200)),
+        ]
+        models = []
+        for name, v, f, rgb in specs:
+            colors = np.tile(rgb, (len(v), 1))
+            models.append(mesh_model_from_arrays(
+                name, v, f, colors=colors, use_external_pose_list=True))
+        t_cap = 128
+        max_labels = 4
+
+    bank = ModelBank.from_models(models, t_cap=t_cap)
     perch = PerchConfig(gpu_stride=4, gpu_batch_size=1024,
                         sensor_resolution=0.015,
                         min_neighbor_points_for_valid_pose=8,
-                        max_icp_iterations=30)
+                        max_icp_iterations=30,
+                        use_color_cost=os.environ.get("PT_COLOR_COST") == "1")
     env_cfg = EnvConfig(width=cam.width, height=cam.height,
                         max_points_per_pose=1024, max_observed_points=4096,
-                        max_points_per_label=1024, max_labels=4,
+                        max_points_per_label=1024, max_labels=max_labels,
                         icp_downsample=2,
                         kernel_backend=os.environ.get("PT_KERNEL_BACKEND",
                                                       "auto"),
@@ -78,39 +117,54 @@ def build_env():
                             os.environ.get("PT_ICP_RENDER_SCALE", "1")),
                         icp_crop_targets=int(
                             os.environ.get("PT_ICP_CROP_TARGETS", "256")),
+                        cost_crop_targets=int(
+                            os.environ.get("PT_COST_CROP_TARGETS", "512")),
                         icp_source=os.environ.get("PT_ICP_SOURCE", "render"),
+                        icp_mode=os.environ.get("PT_ICP_MODE", "auto"),
                         icp_nn_every=int(
                             os.environ.get("PT_ICP_NN_EVERY", "1")))
     return PerceptionEnv(bank, cam, perch, env_cfg)
 
 
 def main() -> None:
-    num_scenes = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    do_icp = "--no-icp" not in sys.argv
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    num_scenes = int(pos[0]) if pos else 50
+    model_set = _flag("models", "zoo")
+    mode = _flag("mode", "default")
+    seed = int(_flag("seed", "42"))
+    if "--no-icp" in sys.argv:
+        mode = "noicp"
+    do_icp = mode != "noicp"
 
     from perception_tpu.eval.dataset_gen import DatasetGenerator
     from perception_tpu.eval.metrics import add_err, adi_err, compute_pose_metrics
     from perception_tpu.eval.ycb import generate_candidates
 
-    env = build_env()
-    gen = DatasetGenerator(env, np.random.default_rng(42))
-    errors = []
+    env = build_env(model_set)
+    num_objects = int(_flag("objects", "3" if model_set == "zoo" else "2"))
+    gen = DatasetGenerator(env, np.random.default_rng(seed))
+    scene_errors: list[list[float]] = []
     runtimes = []
     for si in range(num_scenes):
-        scene = gen.sample_scene(num_objects=2, x_range=(0.5, 0.8),
-                                 y_range=(-0.2, 0.2), z_range=(-0.08, 0.08),
-                                 yaw_only=False)
+        scene = gen.sample_scene(
+            num_objects=num_objects, x_range=(0.5, 0.85),
+            y_range=(-0.2, 0.2), z_range=(-0.08, 0.08),
+            yaw_only=False,
+            min_separation=0.055 if model_set == "zoo" else 0.08)
         env.set_observation_from_states(scene.states)
-        names = [env.bank.models[s.id].name for s in scene.states]
-        cand_rows = generate_candidates(
-            (scene.depth.astype(np.float64) * 10), scene.label, names,
-            env.camera, depth_factor=1000.0, num_samples=60,
-            cam_to_world=env._input.cam_to_world)
-        # Map candidate rows to object states via the 6-DoF generator.
         t0 = time.perf_counter()
-        candidates = env.generate_successors_6dof(cand_rows)
+        if mode == "gtinit":
+            candidates = [s for s in scene.states if env.is_valid_pose(s)]
+        else:
+            names = [env.bank.models[s.id].name for s in scene.states]
+            cand_rows = generate_candidates(
+                (scene.depth.astype(np.float64) * 10), scene.label, names,
+                env.camera, depth_factor=1000.0, num_samples=60,
+                cam_to_world=env._input.cam_to_world)
+            candidates = env.generate_successors_6dof(cand_rows)
         state, chosen = env.compute_greedy_poses(candidates, do_icp=do_icp)
         runtimes.append(time.perf_counter() - t0)
+        errs = []
         for sel in state.object_states:
             gt = next(s for s in scene.states if s.id == sel.id)
             model = env.bank.models[sel.id]
@@ -119,7 +173,7 @@ def main() -> None:
             gtm = gt.pose.transform()
             e_add = add_err(est[:3, :3], est[:3, 3], gtm[:3, :3], gtm[:3, 3], pts)
             e_adi = adi_err(est[:3, :3], est[:3, 3], gtm[:3, :3], gtm[:3, 3], pts)
-            errors.append(min(e_add, e_adi) if model.symmetric else e_adi)
+            errs.append(min(e_add, e_adi) if model.symmetric else e_adi)
         # Undetected *visible* objects count as max error (a fully occluded
         # object has no mask pixels and cannot be detected — the YCB
         # protocol only evaluates visible instances).
@@ -127,20 +181,38 @@ def main() -> None:
         visible = [s for s in scene.states
                    if (scene.label == s.segmentation_label_id).sum() >= 30]
         missed = sum(1 for s in visible if s.id not in detected_ids)
-        errors.extend([1.0] * missed)
+        errs.extend([1.0] * missed)
+        scene_errors.append(errs)
         print(f"scene {si}: detected {state.num_objects}/{len(visible)}"
               f" visible t={runtimes[-1]:.2f}s", flush=True)
 
+    errors = [e for errs in scene_errors for e in errs]
     m = compute_pose_metrics(np.asarray(errors))
+
+    # Scene-level bootstrap CI on the AUC (scenes are the independent unit;
+    # object errors within a scene share occlusion structure).
+    rng = np.random.default_rng(0)
+    boots = []
+    nsc = len(scene_errors)
+    for _ in range(1000):
+        pick = rng.integers(0, nsc, size=nsc)
+        errs = np.asarray([e for i in pick for e in scene_errors[i]])
+        boots.append(compute_pose_metrics(errs)["auc"])
+    lo, hi = np.percentile(boots, [2.5, 97.5])
+
     print(json.dumps({
         "metric": "synthetic_adds_auc",
         "value": round(m["auc"], 2),
         "unit": "auc",
+        "ci95": [round(float(lo), 2), round(float(hi), 2)],
         "pose_count": m["pose_count"],
         "under_2cm_pct": round(m["pose_error_less_perc"], 1),
         "mean_error_m": round(m["mean_pose_error"], 4),
         "scene_seconds_mean": round(float(np.mean(runtimes)), 2),
-        "icp": do_icp,
+        "scenes": num_scenes,
+        "models": model_set,
+        "mode": mode,
+        "seed": seed,
     }))
 
 

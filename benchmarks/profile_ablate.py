@@ -63,7 +63,15 @@ def main():
         "icp_iters=1": dataclasses.replace(cfg0, icp_max_iterations=1),
         "icp_iters=10": dataclasses.replace(cfg0, icp_max_iterations=10),
         "no_icp": dataclasses.replace(cfg0, do_icp=False),
+        "icp_src=model": dataclasses.replace(cfg0, icp_source="model"),
+        "icp_crop=128": dataclasses.replace(cfg0, icp_crop_targets=128),
+        "cost_crop=256": dataclasses.replace(cfg0, cost_crop_targets=256),
+        "nn_every=2": dataclasses.replace(cfg0, icp_nn_every=2),
     }
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    if only:
+        variants = {k: v for k, v in variants.items()
+                    if k in only or k == "full(icp20)"}
     base = None
     for name, cfg in variants.items():
         t, c = timed(cfg)

@@ -28,6 +28,11 @@ from perception_tpu.ops.color import ciede2000, rgb_to_lab
 COST_TYPE_3DOF_DEPTH = 0
 COST_TYPE_3DOF_RGBD = 1
 COST_TYPE_6DOF = 2
+# 6-DoF with the CIEDE2000 colour gate on explained points — the reference
+# kernel applies the same check in its 6-DoF path when colour costing is on
+# (compute_costs.cuh:161-290); counter-measure for single-view depth-only
+# cost ambiguity.
+COST_TYPE_6DOF_RGB = 3
 
 
 def normalize_costs(raw_rendered, pose_point_num, observed_explained,
@@ -108,7 +113,7 @@ def compute_costs(
     active = cloud_valid & ~occluded[:, None]
     far = knn_dist_sq > thresh_sq
 
-    if cost_type == COST_TYPE_3DOF_RGBD:
+    if cost_type in (COST_TYPE_3DOF_RGBD, COST_TYPE_6DOF_RGB):
         nn_rgb = jnp.take_along_axis(observed_rgb, knn_idx[..., None], axis=1)
         cdist = ciede2000(rgb_to_lab(nn_rgb), rgb_to_lab(rendered_rgb))
         color_bad = cdist > color_distance_threshold

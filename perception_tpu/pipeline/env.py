@@ -36,6 +36,7 @@ from perception_tpu.ops.cost import (
     COST_TYPE_3DOF_DEPTH,
     COST_TYPE_3DOF_RGBD,
     COST_TYPE_6DOF,
+    COST_TYPE_6DOF_RGB,
 )
 from perception_tpu.ops.icp import cloud_normals
 from perception_tpu.ops.pointcloud import observed_cloud_from_depth
@@ -376,7 +377,8 @@ class PerceptionEnv:
         cam, perch, env = self.camera, self.perch, self.env
         six_dof = self._input.use_external_pose_list
         if six_dof:
-            cost_type = COST_TYPE_6DOF
+            cost_type = (COST_TYPE_6DOF_RGB if perch.use_color_cost
+                         else COST_TYPE_6DOF)
         elif perch.use_color_cost:
             cost_type = COST_TYPE_3DOF_RGBD
         else:

@@ -204,7 +204,7 @@ def score_pose_batch(
 
     model_source = (cfg.do_icp and cfg.icp_source == "model"
                     and bank_icp_samples is not None
-                    and cfg.icp_mode in ("fused", "nn"))
+                    and cfg.icp_mode in ("fused", "nn", "gicp"))
     coarse = (cfg.do_icp and cfg.icp_render_scale > 1
               and cfg.roi_shape is not None and not model_source)
     if model_source:
@@ -230,7 +230,7 @@ def score_pose_batch(
             # Non-winding-consistent models have unsigned normals: accept
             # every sample rather than trust the facing sign.
             facing = facing | ~bank_backface[model_ids][:, None]
-        model_src = (p_cam, facing)
+        model_src = (p_cam, facing, n_cam)
     elif coarse:
         # Pre-ICP pass: the only consumer is the (downsampled) ICP source
         # cloud, so render it at stride*scale over a proportionally smaller
@@ -254,8 +254,9 @@ def score_pose_batch(
 
     adjusted = poses
     if cfg.do_icp:
+        src_nrm = None
         if model_source:
-            src_xyz, src_valid = model_src
+            src_xyz, src_valid, src_nrm = model_src
         else:
             ds = 1 if coarse else cfg.icp_downsample
             src_xyz = cloud.xyz[:, ::ds]
@@ -284,6 +285,29 @@ def score_pose_batch(
                 nn_every=cfg.icp_nn_every,
                 rotation_epsilon=cfg.icp_rotation_epsilon,
                 transformation_epsilon=cfg.icp_transformation_epsilon)
+        elif cfg.icp_mode == "gicp":
+            from perception_tpu.ops.icp import cloud_normals, icp_gicp_batch
+
+            backend = cfg.backend
+            if backend == "auto":
+                backend = default_backend()
+            if src_nrm is None:
+                # Rendered-source covariances, as fast_gicp estimates them
+                # on the rendered cloud (renderer.cu:1697): k-NN normal per
+                # source point, computed once (the rigid update rotates
+                # them inside the solver).
+                src_nrm = cloud_normals(src_xyz, src_valid)
+            icp = icp_gicp_batch(
+                src_xyz, src_valid, src_nrm,
+                tgt_xyz, tgt_valid, scene.seg_normals[labels],
+                max_iterations=cfg.icp_max_iterations,
+                max_correspondence=cfg.icp_max_correspondence,
+                rotation_epsilon=cfg.icp_rotation_epsilon,
+                transformation_epsilon=cfg.icp_transformation_epsilon,
+                ref_tile=cfg.knn_ref_tile,
+                crop_k=cfg.icp_crop_targets,
+                backend=backend)
+            delta_mat = icp.delta
         elif cfg.icp_mode == "projective":
             icp = icp_projective_batch(
                 src_xyz, src_valid,
@@ -321,7 +345,7 @@ def score_pose_batch(
     backend = cfg.backend if cfg.backend != "auto" else default_backend()
     # The fused cost kernel holds [256, P] tiles in VMEM; beyond ~2k points
     # per pose it would overflow — fall back to the composed path.
-    if (backend.startswith("pallas") and cfg.cost_type != 1
+    if (backend.startswith("pallas") and cfg.cost_type not in (1, 3)
             and cloud.xyz.shape[1] <= 2048 and cost_xyz.shape[1] <= 4096):
         from perception_tpu.ops.cost import compute_costs_fused
 

@@ -65,6 +65,12 @@ class TreeSearch:
         self.lazy_k = lazy_k
         self._root_costs: dict[tuple, int] = {}
         self._candidates = candidates_per_model
+        # Single-object strided depth renders, keyed by candidate value:
+        # each chosen object is rendered ONCE and composed from cache on
+        # every later expansion that places it (the reference caches
+        # per-object depth images the same way for lazy composition —
+        # search_env.cpp:741-771, GetLazyCost:3060-3360).
+        self._render_cache: dict[tuple, np.ndarray] = {}
         self.stats = EnvStats()
 
     # ------------------------------------------------------------------
@@ -112,11 +118,20 @@ class TreeSearch:
                 round(p.roll, 6), round(p.pitch, 6), round(p.yaw, 6))
 
     def _compose(self, node: _Node, obj: ObjectState):
-        """Render obj and merge into the node's composed source images."""
-        env = self.env
-        depth, _, _ = env.render_composite([obj])
-        stride = int(env.perch.gpu_stride)
-        d = depth[::stride, ::stride]
+        """Merge obj's (cached) single-object render into the node's
+        composed source images. Cache hits skip the device round-trip
+        entirely; min-depth composition of cached singles is exact (depth
+        z-buffering commutes: compose(render(a), render(b)) ==
+        render([a, b]), asserted in tests/test_search_e2e.py)."""
+        key = self._state_key(obj)
+        d = self._render_cache.get(key)
+        if d is None:
+            env = self.env
+            depth, _, _ = env.render_composite([obj])
+            stride = int(env.perch.gpu_stride)
+            d = depth[::stride, ::stride].astype(np.int32)
+            self._render_cache[key] = d
+            self.stats.scenes_rendered += 1
         closer = (d > 0) & ((node.source_depth == 0) | (d < node.source_depth))
         new_depth = np.where(closer, d, node.source_depth)
         new_label = np.where(closer, obj.id + 1, node.source_label)

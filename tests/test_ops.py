@@ -248,3 +248,50 @@ def test_icp_recovers_perturbation(rng):
         err = np.linalg.norm(moved - tgt, axis=1).mean()
         assert err < 2e-3, f"batch {b}: residual {err}"
     assert float(res.rmse[0]) < 2e-3
+
+
+def test_gicp_recovers_perturbation(rng):
+    """Distribution-to-distribution (Mahalanobis) GN matches point-to-plane
+    on the wavy-surface recovery problem (fast_gicp D2D analogue)."""
+    from perception_tpu.ops.icp import icp_gicp_batch
+
+    gx, gy = np.meshgrid(np.linspace(-0.1, 0.1, 16), np.linspace(-0.1, 0.1, 16))
+    gz = 1.0 + 0.05 * np.sin(gx * 40) + 0.03 * np.cos(gy * 30)
+    tgt = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], 1).astype(np.float32)
+
+    from perception_tpu.core.pose import euler_xyz_to_matrix
+    true_rot = euler_xyz_to_matrix(0.04, -0.03, 0.05)
+    true_t = np.array([0.01, -0.008, 0.012])
+    src = (tgt - true_t) @ true_rot
+
+    n_batch = 2
+    src_b = np.tile(src[None], (n_batch, 1, 1)).astype(np.float32)
+    tgt_b = np.tile(tgt[None], (n_batch, 1, 1)).astype(np.float32)
+    ones = np.ones((n_batch, len(tgt)), bool)
+    tgt_nrm = cloud_normals(jnp.asarray(tgt_b), jnp.asarray(ones), k=8)
+    src_nrm = cloud_normals(jnp.asarray(src_b), jnp.asarray(ones), k=8)
+    res = icp_gicp_batch(
+        jnp.asarray(src_b), jnp.asarray(ones), src_nrm,
+        jnp.asarray(tgt_b), jnp.asarray(ones), tgt_nrm,
+        max_iterations=30, max_correspondence=0.1, ref_tile=256)
+    delta = np.asarray(res.delta)
+    for b in range(n_batch):
+        moved = src @ delta[b, :3, :3].T + delta[b, :3, 3]
+        err = np.linalg.norm(moved - tgt, axis=1).mean()
+        assert err < 2e-3, f"batch {b}: residual {err}"
+
+
+def test_gicp_underdetermined_identity():
+    """< 6 correspondences -> identity delta (guarded solve)."""
+    from perception_tpu.ops.icp import icp_gicp_batch
+
+    src = np.zeros((1, 8, 3), np.float32)
+    src[0, :, 2] = 1.0
+    valid = np.zeros((1, 8), bool)
+    valid[0, :3] = True
+    nrm = np.tile(np.asarray([0, 0, 1], np.float32), (1, 8, 1))
+    res = icp_gicp_batch(
+        jnp.asarray(src), jnp.asarray(valid), jnp.asarray(nrm),
+        jnp.asarray(src), jnp.asarray(valid), jnp.asarray(nrm),
+        max_iterations=5, max_correspondence=0.1)
+    np.testing.assert_allclose(np.asarray(res.delta[0]), np.eye(4), atol=1e-6)

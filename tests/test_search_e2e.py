@@ -168,3 +168,33 @@ def test_tree_search_lazy_matches_full():
     for a in lazy.object_states:
         b = next(s for s in full.object_states if s.id == a.id)
         assert np.hypot(a.pose.x - b.pose.x, a.pose.y - b.pose.y) < 0.02
+
+
+def test_compose_cache_equals_rerender():
+    """Min-depth composition of cached single-object renders must equal a
+    fresh composite render, and re-composing the same object must not
+    re-render (search_env.cpp:741-771 cached-composition semantics)."""
+    from perception_tpu.pipeline.search import _Node
+    from perception_tpu.core.state import GraphState
+
+    env = make_env()
+    gt = gt_states()
+    env.set_observation_from_states(gt)
+    stride = int(env.perch.gpu_stride)
+    h, w = CAM.height // stride, CAM.width // stride
+
+    search = TreeSearch(env, beam_width=1, candidates_per_model=gt)
+    empty = _Node(GraphState(), 0, np.zeros((h, w), np.int32),
+                  np.zeros((h, w), np.int32), frozenset())
+    d1, l1 = search._compose(empty, gt[0])
+    node1 = _Node(GraphState().append(gt[0]), 0, d1, l1, frozenset({gt[0].id}))
+    d2, _ = search._compose(node1, gt[1])
+    assert search.stats.scenes_rendered == 2
+
+    direct, _, _ = env.render_composite(list(gt))
+    np.testing.assert_array_equal(d2, direct[::stride, ::stride])
+
+    # Same objects again: compose must come entirely from cache.
+    search._compose(empty, gt[0])
+    search._compose(node1, gt[1])
+    assert search.stats.scenes_rendered == 2
