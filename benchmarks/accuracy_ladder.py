@@ -35,6 +35,9 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "no_early_exit": ([], {"PT_ICP_NO_EARLY_EXIT": "1"}),
     "gicp": ([], {"PT_ICP_MODE": "gicp"}),
     "icp_nn": ([], {"PT_ICP_MODE": "nn"}),
+    "cost_crop_256": ([], {"PT_COST_CROP_TARGETS": "256"}),
+    "model_src_crop128": ([], {"PT_ICP_SOURCE": "model",
+                               "PT_ICP_CROP_TARGETS": "128"}),
 }
 
 

@@ -176,6 +176,12 @@ class EnvConfig:
                                               # meshes.
     icp_model_samples: int = 256              # sample count for icp_source=
                                               # "model"
+    # 3-DoF successor pruning (reference kUseHistogramPruning /
+    # kUseOctomapPruning compile-time switches, search_env.cpp:7331-7420):
+    # batched candidate renders filtered by HS-histogram similarity /
+    # voxel-occupancy change fraction (pipeline/pruning.py).
+    histogram_pruning: bool = False
+    voxel_pruning: bool = False
     fine_stride: int = 0                      # coarse-to-fine: re-score top
                                               # candidates at this finer stride
                                               # (0 = off). Mechanically correct

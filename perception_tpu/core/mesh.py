@@ -421,6 +421,66 @@ class MeshModel:
             pts = pts[::step]
         return pts.astype(np.float32)
 
+    def points_inside(self, points: np.ndarray,
+                      transform: np.ndarray | None = None) -> np.ndarray:
+        """Boolean mask of points enclosed by the mesh surface.
+
+        Replaces `ObjectModel::PointsInsideMesh` (object_model.cpp — VTK
+        vtkSelectEnclosedPoints) with a vectorised +z ray-crossing parity
+        test against the (optionally transformed) triangle soup. Exact for
+        closed meshes; an open mesh (backface_cullable False) gives the
+        parity of crossings through whatever surface exists, like the VTK
+        filter it replaces.
+
+        points [P, 3] in model frame, or in the target frame of the given
+        [4, 4] model->target transform.
+        """
+        tv = self.tri_verts.astype(np.float64)          # [T, 3, 3]
+        if transform is not None:
+            tv = tv @ np.asarray(transform)[:3, :3].T + transform[:3, 3]
+        p = np.asarray(points, np.float64).copy()       # [P, 3]
+        # Deterministic sub-micron ray jitter: a ray through a shared
+        # triangle edge would hit both incident triangles and flip the
+        # crossing parity (e.g. the quad diagonal of a box face).
+        p[:, 0] += 1.172e-7
+        p[:, 1] += 2.387e-7
+
+        a, b, c = tv[:, 0], tv[:, 1], tv[:, 2]          # [T, 3]
+        # 2D (x, y) barycentric containment, broadcast [P, T].
+        d = ((b[:, 1] - c[:, 1]) * (a[:, 0] - c[:, 0])
+             + (c[:, 0] - b[:, 0]) * (a[:, 1] - c[:, 1]))
+        safe = np.where(np.abs(d) > 1e-15, d, 1.0)
+        px = p[:, 0:1] - c[None, :, 0]                  # [P, T]
+        py = p[:, 1:2] - c[None, :, 1]
+        l1 = ((b[:, 1] - c[:, 1]) * px + (c[:, 0] - b[:, 0]) * py) / safe
+        l2 = ((c[:, 1] - a[:, 1]) * px + (a[:, 0] - c[:, 0]) * py) / safe
+        l3 = 1.0 - l1 - l2
+        hit = ((np.abs(d) > 1e-15)
+               & (l1 >= 0) & (l2 >= 0) & (l3 >= 0))
+        z_int = (l1 * a[:, 2] + l2 * b[:, 2] + l3 * c[:, 2])
+        above = z_int > p[:, 2:3]
+        crossings = (hit & above).sum(axis=1)
+        return (crossings % 2).astype(bool)
+
+    def points_inside_footprint(self, points_xy: np.ndarray,
+                                yaw_cos_sin: tuple[float, float] = (1.0, 0.0),
+                                xy: tuple[float, float] = (0.0, 0.0),
+                                ) -> np.ndarray:
+        """Boolean mask of 2D points inside the (posed) convex footprint
+        hull (`ObjectModel::PointsInsideFootprint`)."""
+        hull = self.footprint_hull()
+        cy, sy = yaw_cos_sin
+        rot = np.array([[cy, -sy], [sy, cy]])
+        hull = hull @ rot.T + np.asarray(xy)
+        p = np.asarray(points_xy, np.float64)
+        # Inside a convex CCW polygon iff left of (or on) every edge.
+        nxt = np.roll(hull, -1, axis=0)
+        edge = nxt - hull                               # [E, 2]
+        rel = p[:, None, :] - hull[None, :, :]          # [P, E, 2]
+        cross = edge[:, 0] * rel[..., 1] - edge[:, 1] * rel[..., 0]
+        # Hull orientation may be CW or CCW: accept a consistent sign.
+        return (cross >= -1e-12).all(axis=1) | (cross <= 1e-12).all(axis=1)
+
 
 def load_model(
     path: str,

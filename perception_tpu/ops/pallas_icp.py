@@ -10,11 +10,15 @@ group (_GROUP) of poses' whole refinement:
   * points live as [3, P] lane vectors; the cropped target set [S, 3] stays
     resident in VMEM;
   * nearest neighbours come from a per-pose [S, P] distance tile reduced
-    over sublanes; the corresponding target plane (n, n.t) is recovered
-    with 4 one-hot masked sums (Mosaic has no cross-sublane gather; the
-    point-to-plane residual e = n.c - n.q only needs n and n.t, so q is
-    never materialised) — exactly equivalent to the gather for unique
-    minima, tie-broken by index;
+    over sublanes, computed in expanded |t|^2 - 2 t.c + |c|^2 form against
+    loop-invariant target columns (3 FMA + 2 add per entry); the matching
+    target plane (n, n.t) is recovered from the one-hot argmin by a single
+    [8, S] @ [S, P] bf16 MXU matmul (Mosaic has no cross-sublane gather;
+    one-hot operand means single-term sums, and hi/lo bf16 attribute
+    splitting keeps the recovery exact to ~2^-16; the point-to-plane
+    residual e = n.c - n.q only needs n and n.t, so q is never
+    materialised) — equivalent to the gather for unique minima,
+    tie-broken by index;
   * everything after the per-pose NN is vectorised ACROSS THE GROUP: the
     21+6 normal-equation sums are [8, P] row reductions to [8, 1], and the
     unrolled 6x6 Cholesky solve, Rodrigues SE(3) exponential and compose
@@ -63,6 +67,33 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
     idx_mask = (1 << max(1, (s - 1)).bit_length()) - 1   # low bits for index
 
+    # Loop-invariant per-target association tables (see associate()):
+    #   d(s, p) = |t_s|^2 - 2 t_s . c_p + |c_p|^2
+    # so the [S, P] sweep needs only 3 FMAs + 2 adds per entry against the
+    # precomputed (-2 t, |t|^2 + validity-additive) columns, and the plane
+    # attributes (nx, ny, nz, n.t) are recovered from the one-hot argmin by
+    # ONE bf16 MXU matmul instead of four masked [S, P] sums. bf16 keeps
+    # the recovery EXACT to ~2^-16: the one-hot operand is exactly 0/1, so
+    # every output is a single product (no accumulation), and each
+    # attribute is split into bf16 hi + lo parts recombined after the dot.
+    tassoc = []    # per member: (t2x, t2y, t2z, ttadd) [S, 1] columns
+    attrs = []     # per member: [8, S] bf16 rows (hi nx ny nz nq, lo ...)
+    for gi in range(g):
+        tx = tgt_ref[gi, :, 0:1]
+        ty = tgt_ref[gi, :, 1:2]
+        tz = tgt_ref[gi, :, 2:3]
+        tadd = tgt_ref[gi, :, 7:8]
+        ttadd = tx * tx + ty * ty + tz * tz + tadd
+        tassoc.append((-2.0 * tx, -2.0 * ty, -2.0 * tz, ttadd))
+        rows_hi, rows_lo = [], []
+        for col in (3, 4, 5, 6):   # nx, ny, nz, n.t
+            a = tgt_ref[gi, :, col:col + 1].T          # [1, S]
+            hi = a.astype(jnp.bfloat16)
+            lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            rows_hi.append(hi)
+            rows_lo.append(lo)
+        attrs.append(jnp.concatenate(rows_hi + rows_lo, axis=0))  # [8, S]
+
     def body(carry):
         # carry: iter k (scalar), current/best transforms (12 x [G,1]),
         # best rmse, stagnation streak, done flag (f32 0/1) — all [G,1] —
@@ -75,26 +106,19 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
 
         def associate(_):
             # Per-pose NN: target sets differ per pose, so the [S, P]
-            # distance tile and the one-hot plane recovery run per group
-            # member.
+            # distance tile and the plane recovery run per group member.
             rows_nx, rows_ny, rows_nz, rows_nq, rows_dmin = [], [], [], [], []
             for gi in range(g):
-                tx = tgt_ref[gi, :, 0:1]               # [S, 1]
-                ty = tgt_ref[gi, :, 1:2]
-                tz = tgt_ref[gi, :, 2:3]
-                nx_t = tgt_ref[gi, :, 3:4]
-                ny_t = tgt_ref[gi, :, 4:5]
-                nz_t = tgt_ref[gi, :, 5:6]
-                bt = tgt_ref[gi, :, 6:7]   # precomputed plane offset n.t
-                tadd = tgt_ref[gi, :, 7:8]             # [S, 1]
-
+                t2x, t2y, t2z, ttadd = tassoc[gi]      # [S, 1]
                 cgx = cx[gi:gi + 1, :]                 # [1, P]
                 cgy = cy[gi:gi + 1, :]
                 cgz = cz[gi:gi + 1, :]
-                dx = tx - cgx                          # [S, P]
-                dy = ty - cgy
-                dz = tz - cgz
-                d = dx * dx + dy * dy + dz * dz + tadd
+                cc = cgx * cgx + cgy * cgy + cgz * cgz
+                # Expanded squared distance (clamped: the three-term form
+                # can go epsilon-negative under cancellation, which would
+                # flip the bitcast ordering).
+                d = ttadd + t2x * cgx + t2y * cgy + t2z * cgz    # [S, P]
+                d = jnp.maximum(d + cc, 0.0)
                 # Packed (distance, sublane-index) min: d >= 0 so its f32
                 # bits are order-preserving as int32; the low index bits
                 # both break ties toward the smallest sublane (as the
@@ -104,14 +128,18 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
                 db = jax.lax.bitcast_convert_type(d, jnp.int32)
                 packed = (db & ~jnp.int32(idx_mask)) | sub_iota
                 pmin = packed.min(axis=0, keepdims=True)   # [1, P]
-                onehot = (sub_iota == (pmin & idx_mask)).astype(jnp.float32)
+                onehot = (sub_iota == (pmin & idx_mask)).astype(jnp.bfloat16)
                 dmin = jax.lax.bitcast_convert_type(
                     pmin & ~jnp.int32(idx_mask), jnp.float32)
 
-                rows_nx.append((onehot * nx_t).sum(axis=0, keepdims=True))
-                rows_ny.append((onehot * ny_t).sum(axis=0, keepdims=True))
-                rows_nz.append((onehot * nz_t).sum(axis=0, keepdims=True))
-                rows_nq.append((onehot * bt).sum(axis=0, keepdims=True))
+                # [8, S] @ [S, P] on the MXU (see the precompute comment).
+                planes = jax.lax.dot_general(
+                    attrs[gi], onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [8, P]
+                rows_nx.append(planes[0:1] + planes[4:5])
+                rows_ny.append(planes[1:2] + planes[5:6])
+                rows_nz.append(planes[2:3] + planes[6:7])
+                rows_nq.append(planes[3:4] + planes[7:8])
                 rows_dmin.append(dmin)
 
             return (jnp.concatenate(rows_nx, axis=0),   # [G, P] each

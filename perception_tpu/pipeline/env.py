@@ -631,4 +631,10 @@ class PerceptionEnv:
                             out.append(st)
                     y += res
                 x += res
+        if env.histogram_pruning or env.voxel_pruning:
+            from perception_tpu.pipeline.pruning import prune_successors
+
+            out = prune_successors(
+                self, out, use_histogram=env.histogram_pruning,
+                use_voxels=env.voxel_pruning)
         return out
