@@ -49,7 +49,7 @@ def _flag(name: str, default: str) -> str:
     return default
 
 
-def build_env(model_set: str):
+def build_env(model_set: str = "zoo"):
     from perception_tpu.core.config import CameraIntrinsics, EnvConfig, PerchConfig
     from perception_tpu.core.mesh import ModelBank, mesh_model_from_arrays
     from perception_tpu.pipeline.env import PerceptionEnv

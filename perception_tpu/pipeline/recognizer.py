@@ -67,9 +67,11 @@ class ObjectRecognizer:
         use_external_pose_list: bool = True,
         target_triangles: int = 1024,
     ):
+        from perception_tpu.io.model_cache import load_model_cached
+
         models: list[MeshModel] = []
         for spec in model_specs:
-            models.append(load_model(
+            models.append(load_model_cached(
                 spec.path, name=spec.name, mesh_in_mm=mesh_in_mm,
                 scaling_factor=mesh_scaling_factor, flipped=spec.flipped,
                 use_external_pose_list=use_external_pose_list,

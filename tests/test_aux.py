@@ -238,3 +238,40 @@ def test_euclidean_clustering_organized():
     cloud2[:, 2:] = 1.0   # 1 m jump between columns 1 and 2
     out = euclidean_clustering_organized(cloud2, 0.01, min_cluster_size=2)
     assert len(out) == 2
+
+
+def test_view_generator_banks(tmp_path):
+    """view_generator: icosphere counts match PCL's vertex mode, poses put
+    the object in front of the camera, every view sees the object."""
+    import numpy as np
+
+    from perception_tpu.tools.view_generator import (
+        generate_views,
+        icosphere_vertices,
+        look_at_pose,
+    )
+
+    assert len(icosphere_vertices(0)) == 12
+    assert len(icosphere_vertices(1)) == 42
+    assert len(icosphere_vertices(2)) == 162
+
+    for v in icosphere_vertices(0):
+        pose = look_at_pose(v, 0.7)
+        # Rotation orthonormal, origin at (0, 0, distance).
+        r = pose[:3, :3]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-9)
+        np.testing.assert_allclose(pose[:3, 3], [0, 0, 0.7], atol=1e-9)
+
+    from perception_tpu.core.config import CameraIntrinsics
+    from perception_tpu.core.mesh import mesh_model_from_arrays
+    from tests.test_core import make_box
+
+    verts, faces = make_box(0.12, 0.1, 0.08)
+    model = mesh_model_from_arrays("box", verts, faces)
+    cam = CameraIntrinsics(fx=120.0, fy=120.0, cx=48.0, cy=48.0,
+                           width=96, height=96)
+    clouds, poses, entropy = generate_views(model, cam, level=0,
+                                            distance=0.7, stride=2)
+    assert len(clouds) == 12 and poses.shape == (12, 4, 4)
+    assert all(len(c) > 10 for c in clouds)
+    assert entropy.max() == 1.0 and entropy.min() > 0.0

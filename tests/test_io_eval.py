@@ -121,3 +121,44 @@ def test_auc_protocol():
     uniform = np.linspace(0, 0.0999, 200)
     m = compute_pose_metrics(uniform.copy())
     assert 45 < m["auc"] < 55
+
+
+def test_model_cache_roundtrip(tmp_path):
+    """load_model_cached: second load comes from the .npz cache and equals
+    the direct load; cache invalidates on parameter change."""
+    import numpy as np
+
+    from perception_tpu.core.mesh import load_model
+    from perception_tpu.io.model_cache import load_model_cached
+    from tests.test_core import make_box
+
+    v, f = make_box(0.1, 0.08, 0.06)
+    ply = tmp_path / "box.ply"
+    with open(ply, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\n")
+        fh.write(f"element vertex {len(v)}\n")
+        fh.write("property float x\nproperty float y\nproperty float z\n")
+        fh.write(f"element face {len(f)}\n")
+        fh.write("property list uchar int vertex_indices\nend_header\n")
+        for row in v:
+            fh.write(f"{row[0]} {row[1]} {row[2]}\n")
+        for row in f:
+            fh.write(f"3 {row[0]} {row[1]} {row[2]}\n")
+
+    cache = str(tmp_path / "cache")
+    kw = dict(name="box", target_triangles=16, symmetric=True)
+    m1 = load_model_cached(str(ply), cache_dir=cache, **kw)
+    files = [p for p in __import__("os").listdir(cache) if p.endswith(".npz")]
+    assert len(files) == 1
+    m2 = load_model_cached(str(ply), cache_dir=cache, **kw)
+    ref = load_model(str(ply), **kw)
+    for a in (m1, m2):
+        np.testing.assert_array_equal(a.tri_verts, ref.tri_verts)
+        np.testing.assert_array_equal(a.tri_colors, ref.tri_colors)
+        assert a.symmetric and a.backface_cullable == ref.backface_cullable
+        assert a.name == "box"
+    # Different params -> new cache entry.
+    load_model_cached(str(ply), cache_dir=cache, name="box",
+                      target_triangles=8, symmetric=True)
+    files = [p for p in __import__("os").listdir(cache) if p.endswith(".npz")]
+    assert len(files) == 2
