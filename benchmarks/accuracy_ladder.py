@@ -38,6 +38,12 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "cost_crop_256": ([], {"PT_COST_CROP_TARGETS": "256"}),
     "model_src_crop128": ([], {"PT_ICP_SOURCE": "model",
                                "PT_ICP_CROP_TARGETS": "128"}),
+    # Proposed default combos (round-2 perf push).
+    "combo_model_cost256": ([], {"PT_ICP_SOURCE": "model",
+                                 "PT_COST_CROP_TARGETS": "256"}),
+    "combo_model_cost256_nn2": ([], {"PT_ICP_SOURCE": "model",
+                                     "PT_COST_CROP_TARGETS": "256",
+                                     "PT_ICP_NN_EVERY": "2"}),
 }
 
 
@@ -71,6 +77,12 @@ def main() -> None:
               f"({r['scene_seconds_mean']}s/scene)", flush=True)
 
     path = os.path.join(HERE, "accuracy_ladder.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(results)
+    results = merged
     with open(path, "w") as f:
         json.dump(results, f, indent=2)
 

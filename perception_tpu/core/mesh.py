@@ -422,7 +422,8 @@ class MeshModel:
         return pts.astype(np.float32)
 
     def points_inside(self, points: np.ndarray,
-                      transform: np.ndarray | None = None) -> np.ndarray:
+                      transform: np.ndarray | None = None,
+                      inflation: float = 1.0) -> np.ndarray:
         """Boolean mask of points enclosed by the mesh surface.
 
         Replaces `ObjectModel::PointsInsideMesh` (object_model.cpp — VTK
@@ -433,9 +434,12 @@ class MeshModel:
         filter it replaces.
 
         points [P, 3] in model frame, or in the target frame of the given
-        [4, 4] model->target transform.
+        [4, 4] model->target transform. inflation > 1 scales the mesh
+        about the transform origin (the reference multiplies the rotation
+        block by inflation_factor_, object_model.cpp:528-531, so
+        boundary/sensor-quantised surface points still test inside).
         """
-        tv = self.tri_verts.astype(np.float64)          # [T, 3, 3]
+        tv = self.tri_verts.astype(np.float64) * inflation  # [T, 3, 3]
         if transform is not None:
             tv = tv @ np.asarray(transform)[:3, :3].T + transform[:3, 3]
         p = np.asarray(points, np.float64).copy()       # [P, 3]

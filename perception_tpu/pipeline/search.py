@@ -40,6 +40,9 @@ class _Node:
     source_depth: np.ndarray     # composed strided depth (render units)
     source_label: np.ndarray     # composed strided labels (1-based model id)
     placed_ids: frozenset
+    counted: np.ndarray | None = None   # [h, w] observed pixels already
+                                        # claimed by placed objects
+                                        # (counted_pixels mode)
 
 
 class TreeSearch:
@@ -51,15 +54,26 @@ class TreeSearch:
         heuristic: Callable[[ObjectState], float] | None = None,
         max_successors_per_model: int = 512,
         lazy_k: int = 0,
+        counted_pixels: bool = False,
     ):
         """lazy_k > 0 enables lazy successor evaluation (reference
         GetLazySuccs/GetTrueCost, search_env.cpp:2653+, 2846-2933): beyond
         the first level, candidates are ordered by their cached root-level
         cost (cheap estimate that ignores the newly composed occluders) and
         only the best lazy_k per model are re-scored against the node's
-        composed source image."""
+        composed source image.
+
+        counted_pixels=True enables the reference's per-state observed-cost
+        accounting (GetSourceCost + counted_pixels_map_,
+        search_env.cpp:4137-4310, 658/731): each placed object CLAIMS the
+        not-yet-counted observed pixels inside its mesh (6-DoF) or
+        footprint (3-DoF), its source cost is the fraction of claimed
+        pixels its own render leaves unexplained, and claimed pixels are
+        excluded from every deeper level — no observed point is ever
+        counted twice along a search branch."""
         self.env = env
         self.beam_width = beam_width
+        self.counted_pixels = counted_pixels
         self.heuristic = heuristic
         self.max_successors_per_model = max_successors_per_model
         self.lazy_k = lazy_k
@@ -117,6 +131,101 @@ class TreeSearch:
         return (st.id, round(p.x, 6), round(p.y, 6), round(p.z, 6),
                 round(p.roll, 6), round(p.pitch, 6), round(p.yaw, 6))
 
+    def _candidate_depths(self, states: list[ObjectState]) -> np.ndarray:
+        """Strided single-object depth renders for each state, via the
+        per-candidate cache (misses render in ONE batched dispatch)."""
+        import jax.numpy as jnp
+
+        from perception_tpu.ops.rasterizer import render_pose_batch
+
+        env = self.env
+        stride = int(env.perch.gpu_stride)
+        miss = [s for s in states
+                if self._state_key(s) not in self._render_cache]
+        if miss:
+            poses = np.stack([env.pose_to_camera(s) for s in miss]).astype(
+                np.float32)
+            ids = np.asarray([s.id for s in miss], np.int32)
+            out = render_pose_batch(
+                env._bank_tri_verts, env._bank_tri_colors,
+                env._bank_tri_valid, jnp.asarray(poses), jnp.asarray(ids),
+                env._proj, width=env.camera.width, height=env.camera.height,
+                stride=stride, backend=env.env.kernel_backend,
+                bank_backface=env._bank_backface)
+            depths = np.asarray(out.depth).astype(np.int32)
+            for s, d in zip(miss, depths):
+                self._render_cache[self._state_key(s)] = d
+                self.stats.scenes_rendered += 1
+        return np.stack([self._render_cache[self._state_key(s)]
+                         for s in states])
+
+    def _observed_grid(self):
+        """(obs_depth [h, w] render units, pts_cam [h, w, 3], pts_world)
+        of the ORIGINAL observation, cached."""
+        if getattr(self, "_obs_grid", None) is None:
+            env = self.env
+            stride = int(env.perch.gpu_stride)
+            cam = env.camera
+            depth = np.asarray(env._source_depth).astype(np.float64)
+            ys, xs = np.mgrid[0:depth.shape[0], 0:depth.shape[1]]
+            z = depth / env.env.gpu_depth_factor
+            x = (xs * stride - cam.cx) / cam.fx * z
+            y = (ys * stride - cam.cy) / cam.fy * z
+            pts_cam = np.stack([x, y, z], axis=-1)
+            c2w = env._input.cam_to_world
+            pts_world = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
+            self._obs_grid = (np.asarray(env._source_depth), pts_cam,
+                              pts_world)
+        return self._obs_grid
+
+    def _counted_costs(self, node: _Node, scored: list) -> list[tuple]:
+        """Reference counted-pixels true costs: for each survivor, the
+        claimed-pixel mask and the corrected total cost
+        (target% + unexplained-claimed%)."""
+        env = self.env
+        obs_depth, pts_cam, pts_world = self._observed_grid()
+        valid = (obs_depth > 0) & (node.counted == 0)
+        thresh = env.perch.sensor_resolution * env.env.gpu_depth_factor
+        states = [su.state for su in scored]
+        depths = self._candidate_depths(states)
+        out = []
+        for su, cand_depth in zip(scored, depths):
+            model = env.bank.models[su.state.id]
+            rad = model.inflation_factor * model.circumscribed_radius_3d
+            if env._input.use_external_pose_list:
+                # Candidate-radius prefilter (the reference's radiusSearch)
+                # then exact mesh containment. Mesh transformed to the
+                # camera frame; observed points are already camera-frame
+                # (PointsInsideMesh semantics).
+                center = su.adjusted_pose_cam[:3, 3]
+                near = valid & (
+                    ((pts_cam - center) ** 2).sum(axis=-1) <= rad * rad)
+                inside = np.zeros_like(valid)
+                if near.any():
+                    inside[near] = model.points_inside(
+                        pts_cam[near], transform=su.adjusted_pose_cam,
+                        inflation=model.inflation_factor)
+            else:
+                p = su.state.pose
+                near = valid & (
+                    ((pts_world[..., :2] - [p.x, p.y]) ** 2).sum(axis=-1)
+                    <= rad * rad)
+                inside = np.zeros_like(valid)
+                if near.any():
+                    inside[near] = model.points_inside_footprint(
+                        pts_world[near][:, :2],
+                        yaw_cos_sin=(np.cos(p.yaw), np.sin(p.yaw)),
+                        xy=(p.x, p.y))
+            claimed = valid & inside
+            explained = (cand_depth > 0) & (
+                np.abs(cand_depth.astype(np.float64) - obs_depth) <= thresh)
+            unexplained = claimed & ~explained
+            n_claimed = int(claimed.sum())
+            src = (100.0 * unexplained.sum() / n_claimed
+                   if n_claimed else 100.0)
+            out.append((int(su.target_cost + src), claimed))
+        return out
+
     def _compose(self, node: _Node, obj: ObjectState):
         """Merge obj's (cached) single-object render into the node's
         composed source images. Cache hits skip the device round-trip
@@ -152,7 +261,9 @@ class TreeSearch:
         # input can occlude candidates), labels empty.
         root_depth = np.asarray(env._source_depth)
         root = _Node(GraphState(), 0, root_depth,
-                     np.zeros((h, w), np.int32), frozenset())
+                     np.zeros((h, w), np.int32), frozenset(),
+                     counted=(np.zeros((h, w), bool)
+                              if self.counted_pixels else None))
         frontier = [root]
 
         num_levels = len(per_model)
@@ -181,19 +292,26 @@ class TreeSearch:
                     for su, st in zip(scored, cands):
                         cost = su.cost if su.cost >= 0 else 10**9
                         self._root_costs[self._state_key(st)] = cost
-                for su in scored:
-                    if su.cost < 0:
-                        continue
-                    expansions.append((node, su))
+                survivors = [su for su in scored if su.cost >= 0]
+                if self.counted_pixels:
+                    # True costs under the counted-pixels accounting; the
+                    # claimed mask rides along to update the child's
+                    # counted set (counted_pixels_map_ semantics).
+                    for su, (cost, claimed) in zip(
+                            survivors, self._counted_costs(node, survivors)):
+                        expansions.append((node, su, cost, claimed))
+                else:
+                    expansions.extend(
+                        (node, su, su.cost, None) for su in survivors)
                 scored_all.extend(scored)
 
             if not expansions:
                 break
-            expansions.sort(key=lambda e: e[0].g + e[1].cost)
+            expansions.sort(key=lambda e: e[0].g + e[2])
 
             new_frontier: list[_Node] = []
             seen_keys = set()
-            for node, su in expansions:
+            for node, su, cost, claimed in expansions:
                 if len(new_frontier) >= self.beam_width:
                     break
                 obj = su.state
@@ -205,10 +323,12 @@ class TreeSearch:
                 depth, label = self._compose(node, obj)
                 new_frontier.append(_Node(
                     state=node.state.append(obj),
-                    g=node.g + su.cost,
+                    g=node.g + cost,
                     source_depth=depth,
                     source_label=label,
-                    placed_ids=node.placed_ids | {obj.id}))
+                    placed_ids=node.placed_ids | {obj.id},
+                    counted=(node.counted | claimed
+                             if claimed is not None else None)))
             if not new_frontier:
                 break
             frontier = new_frontier

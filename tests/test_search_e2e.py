@@ -198,3 +198,45 @@ def test_compose_cache_equals_rerender():
     search._compose(empty, gt[0])
     search._compose(node1, gt[1])
     assert search.stats.scenes_rendered == 2
+
+
+def test_counted_pixels_no_double_count():
+    """Counted-pixels mode: claimed masks are disjoint along a branch, the
+    second object's claim excludes the first's pixels, and the search
+    still recovers the scene (GetSourceCost/counted_pixels_map_ parity)."""
+    from perception_tpu.pipeline.search import _Node
+    from perception_tpu.core.state import GraphState
+
+    env = make_env()
+    gt = gt_states()
+    env.set_observation_from_states(gt)
+    cands = jittered_candidates(gt, np.random.default_rng(7))
+
+    search = TreeSearch(env, beam_width=2, candidates_per_model=cands,
+                        counted_pixels=True)
+    state = search.plan()
+    assert state.num_objects == 2
+    for sel in state.object_states:
+        true = gt[sel.id]
+        err = np.linalg.norm(
+            np.array([sel.pose.x, sel.pose.y, sel.pose.z])
+            - np.array([true.pose.x, true.pose.y, true.pose.z]))
+        assert err < 0.02
+
+    # Direct disjointness check: claim object 0 at GT, then object 1's
+    # claimed mask must avoid those pixels.
+    stride = int(env.perch.gpu_stride)
+    h, w = CAM.height // stride, CAM.width // stride
+    root = _Node(GraphState(), 0, np.asarray(env._source_depth),
+                 np.zeros((h, w), np.int32), frozenset(),
+                 counted=np.zeros((h, w), bool))
+    scored = env.score_object_states([gt[0], gt[1]], do_icp=False)
+    (c0, claim0), (c1, claim1) = search._counted_costs(root, scored)
+    assert claim0.any() and claim1.any()
+    # GT objects explain their own claims -> low corrected source cost.
+    assert c0 <= scored[0].target_cost + 35
+    node1 = _Node(GraphState().append(gt[0]), c0,
+                  root.source_depth, root.source_label,
+                  frozenset({gt[0].id}), counted=root.counted | claim0)
+    (_, claim1b), = search._counted_costs(node1, [scored[1]])
+    assert not (claim1b & claim0).any()
