@@ -19,6 +19,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 BENCH = os.path.join(HERE, "accuracy_synthetic.py")
@@ -63,7 +64,21 @@ def main() -> None:
         print(f"=== {name}: {' '.join(cmd)} "
               f"{' '.join(f'{k}={v}' for k, v in env_extra.items())}",
               flush=True)
-        out = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        # The axon tunnel occasionally hangs a fresh process on device
+        # acquisition right after the previous one exits; bound each rung
+        # and retry (observed round 2 — see repo memory).
+        for attempt in range(3):
+            try:
+                out = subprocess.run(cmd, env=env, capture_output=True,
+                                     text=True, timeout=900)
+                break
+            except subprocess.TimeoutExpired:
+                print(f"    attempt {attempt + 1} timed out; retrying",
+                      flush=True)
+                time.sleep(30)
+        else:
+            results[name] = {"error": "timeout"}
+            continue
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("{")]
         if not line:

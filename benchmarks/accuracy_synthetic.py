@@ -213,6 +213,11 @@ def main() -> None:
         "models": model_set,
         "mode": mode,
         "seed": seed,
+        # Per-scene error lists enable PAIRED comparisons between runs on
+        # identical seeds (benchmarks/compare_runs.py) — far tighter than
+        # comparing two independent CIs.
+        "scene_errors": [[round(e, 5) for e in errs]
+                         for errs in scene_errors],
     }))
 
 
