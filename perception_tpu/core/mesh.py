@@ -647,7 +647,13 @@ class ModelBank:
         return [m.name for m in self.models]
 
     def index_of(self, name: str) -> int:
-        return self.names.index(name)
+        """Model index by name. `name#k` instance-suffixed names (the
+        same-shape/crate multi-instance convention, reference
+        run_sameshape_gpu) resolve to the base model."""
+        names = self.names
+        if name in names:
+            return names.index(name)
+        return names.index(name.split("#", 1)[0])
 
     def surface_samples(self, k: int = 256) -> tuple[np.ndarray, np.ndarray]:
         """Deterministic area-weighted surface samples [M, k, 3] with face

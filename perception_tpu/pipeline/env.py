@@ -544,21 +544,29 @@ class PerceptionEnv:
                 scored = self.score_object_states(
                     fine_states, do_icp=False, fine=True)
 
-        best: list[ScoredState | None] = [None] * num_models
+        # Argmin per recognised object. In 6-DoF mode an "object" is a
+        # (model, segment) pair — several instances of the SAME model in
+        # different segments each get their own winner (the reference's
+        # per-segmented-object contract, run_sameshape_gpu); in 3-DoF grid
+        # mode it stays per model.
+        six_dof = (self._input is not None
+                   and self._input.use_external_pose_list)
+        best: dict[tuple, ScoredState] = {}
         for su in scored:
             if su.cost in (-1, -2):
                 continue
             if abs(su.target_cost - su.source_cost) >= 30:
                 continue
             mid = su.state.id
-            if best[mid] is None or su.cost < best[mid].cost:
-                best[mid] = su
+            key = (mid, su.state.segmentation_label_id) if six_dof \
+                else (mid,)
+            if key not in best or su.cost < best[key].cost:
+                best[key] = su
         state = GraphState()
         chosen = []
-        for mid in range(num_models):
-            if best[mid] is None:
-                continue
-            su = best[mid]
+        for key in sorted(best):
+            su = best[key]
+            mid = su.state.id
             adjusted_pose = self.camera_to_world_pose(
                 su.adjusted_pose_cam, mid, remove_preprocessing=True)
             adj_state = ObjectState(
