@@ -106,23 +106,24 @@ def build_env(model_set: str = "zoo"):
                         min_neighbor_points_for_valid_pose=8,
                         max_icp_iterations=30,
                         use_color_cost=os.environ.get("PT_COLOR_COST") == "1")
+    # Env-var knob overrides; ABSENT vars defer to the EnvConfig defaults
+    # (so benchmark runs measure the shipped configuration).
+    overrides: dict = {}
+    for var, key, cast in (
+            ("PT_KERNEL_BACKEND", "kernel_backend", str),
+            ("PT_ROI_SIZE", "roi_size", int),
+            ("PT_ICP_RENDER_SCALE", "icp_render_scale", int),
+            ("PT_ICP_CROP_TARGETS", "icp_crop_targets", int),
+            ("PT_COST_CROP_TARGETS", "cost_crop_targets", int),
+            ("PT_ICP_SOURCE", "icp_source", str),
+            ("PT_ICP_MODE", "icp_mode", str),
+            ("PT_ICP_NN_EVERY", "icp_nn_every", int)):
+        if os.environ.get(var):
+            overrides[key] = cast(os.environ[var])
     env_cfg = EnvConfig(width=cam.width, height=cam.height,
                         max_points_per_pose=1024, max_observed_points=4096,
                         max_points_per_label=1024, max_labels=max_labels,
-                        icp_downsample=2,
-                        kernel_backend=os.environ.get("PT_KERNEL_BACKEND",
-                                                      "auto"),
-                        roi_size=int(os.environ.get("PT_ROI_SIZE", "0")),
-                        icp_render_scale=int(
-                            os.environ.get("PT_ICP_RENDER_SCALE", "1")),
-                        icp_crop_targets=int(
-                            os.environ.get("PT_ICP_CROP_TARGETS", "256")),
-                        cost_crop_targets=int(
-                            os.environ.get("PT_COST_CROP_TARGETS", "512")),
-                        icp_source=os.environ.get("PT_ICP_SOURCE", "render"),
-                        icp_mode=os.environ.get("PT_ICP_MODE", "auto"),
-                        icp_nn_every=int(
-                            os.environ.get("PT_ICP_NN_EVERY", "1")))
+                        icp_downsample=2, **overrides)
     return PerceptionEnv(bank, cam, perch, env_cfg)
 
 

@@ -46,21 +46,24 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
     perch = PerchConfig(gpu_stride=stride, gpu_batch_size=n_poses,
                         sensor_resolution=0.01,
                         min_neighbor_points_for_valid_pose=8)
+    import os as _os
+
+    # Env-var knob overrides; ABSENT vars defer to the EnvConfig defaults
+    # (the bench measures the shipped configuration).
+    overrides: dict = {}
+    for var, key in (("PT_ICP_RENDER_SCALE", "icp_render_scale"),
+                     ("PT_ICP_CROP_TARGETS", "icp_crop_targets"),
+                     ("PT_COST_CROP_TARGETS", "cost_crop_targets"),
+                     ("PT_ICP_NN_EVERY", "icp_nn_every")):
+        if _os.environ.get(var):
+            overrides[key] = int(_os.environ[var])
+    if _os.environ.get("PT_ICP_SOURCE"):
+        overrides["icp_source"] = _os.environ["PT_ICP_SOURCE"]
     env_cfg = EnvConfig(width=width, height=height,
                         max_points_per_pose=1024, max_observed_points=8192,
                         max_points_per_label=1024, max_labels=4,
                         roi_size=32, icp_mode="auto",
-                        icp_render_scale=int(
-                            __import__("os").environ.get(
-                                "PT_ICP_RENDER_SCALE", "1")),
-                        icp_crop_targets=int(
-                            __import__("os").environ.get(
-                                "PT_ICP_CROP_TARGETS", "256")),
-                        icp_source=__import__("os").environ.get(
-                            "PT_ICP_SOURCE", "render"),
-                        icp_nn_every=int(__import__("os").environ.get(
-                            "PT_ICP_NN_EVERY", "1")),
-                        kernel_backend="auto")
+                        kernel_backend="auto", **overrides)
     env = PerceptionEnv(bank, cam, perch, env_cfg)
 
     gt = []

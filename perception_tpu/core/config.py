@@ -149,20 +149,25 @@ class EnvConfig:
                                               # vs 43.5% on 12 scenes).
     icp_crop_targets: int = 256               # per-pose target crop for the
                                               # fused/NN ICP sweep (0 = off)
-    cost_crop_targets: int = 512              # cost-stage target prefix cap
+    cost_crop_targets: int = 256              # cost-stage target prefix cap
                                               # (exact for segments with <=
                                               # cap valid points — segments
                                               # are valid-prefix compacted;
-                                              # 0 = full segment)
-    icp_nn_every: int = 1                     # fused-ICP NN re-association
+                                              # 0 = full segment). 256 vs
+                                              # full measured AUC-neutral
+                                              # (paired 150-scene zoo delta
+                                              # +0.3 [-0.6, 1.2]) and
+                                              # -3.6 ms/1024-pose batch.
+    icp_nn_every: int = 2                     # fused-ICP NN re-association
                                               # period (1 = every iteration,
-                                              # reference-faithful). Measured
-                                              # at 2 on v5e: +13% pipeline
-                                              # speed but -6.5 ADD-S AUC over
-                                              # 24 scenes (point-to-plane is
-                                              # near-linear per association,
-                                              # so skipped re-associations
-                                              # just waste iterations) — keep 1.
+                                              # reference-faithful; 2 skips
+                                              # alternate [S, P] sweeps —
+                                              # point-to-plane is near-linear
+                                              # per association). Paired
+                                              # 150-scene zoo delta at 2:
+                                              # +1.1 [-0.9, 3.1] AUC (an
+                                              # earlier 24-scene -6.5 reading
+                                              # was small-sample noise).
     icp_source: str = "render"                # "render" (reference-faithful
                                               # pre-ICP render) | "model"
                                               # (render-free: surface samples

@@ -89,15 +89,16 @@ class ScorerConfig:
                                   # stride*scale (the ICP source cloud is
                                   # downsampled anyway; replaces
                                   # icp_downsample when active)
-    icp_nn_every: int = 1         # fused ICP: re-associate NN every Nth
-                                  # GN iteration (1 = reference-faithful)
+    icp_nn_every: int = 2         # fused ICP: re-associate NN every Nth
+                                  # GN iteration (1 = reference-faithful;
+                                  # 2 measured AUC-neutral, see EnvConfig)
     icp_source: str = "render"    # "render": reference-faithful pre-ICP
                                   # render -> visible cloud; "model": skip
                                   # the pre-ICP render and use precomputed
                                   # surface samples with an n.p<0 facing
                                   # mask as the ICP source (fused/nn modes,
                                   # requires bank_icp_samples/_normals)
-    cost_crop_targets: int = 512  # static prefix cap on the cost stage's
+    cost_crop_targets: int = 256  # static prefix cap on the cost stage's
                                   # target set. Segment clouds are
                                   # valid-prefix compacted (pointcloud.py
                                   # argsort partition), so the slice is
