@@ -40,10 +40,10 @@ def main() -> None:
 
     from perception_tpu.pipeline.scorer import score_pose_batch
 
-    # 1024 measured fastest per pose (512: -4%; 2048: SMEM overflow in the
-    # scalar-prefetch tables). The grouped ICP kernel removed the old
-    # super-linear batch-1024 pathology.
-    n_poses = int(os.environ.get("BENCH_POSES", 1024))
+    # 2048 measured fastest per pose (1024: -8%; 4096: equal — saturated).
+    # The raster kernel sub-batches at 1024 internally (SMEM prefetch
+    # budget); everything else batches monolithically.
+    n_poses = int(os.environ.get("BENCH_POSES", 2048))
     env, cands, args, cfg = build_bench_problem(n_poses=n_poses)
     cfg = dataclasses.replace(cfg, icp_max_iterations=20)
     (btv, btc, bvl, poses, mids, labels, totals, proj, scene) = args

@@ -280,6 +280,19 @@ def rasterize_direct_pallas(
 ) -> jax.Array:
     """Packed (depth << TRI_ID_BITS | tri_id) keys [N, Npix]."""
     n = pose_mats.shape[0]
+    if n > 1024:
+        # Mosaic materialises the scalar-prefetch operands in SMEM scoped
+        # to the whole grid; beyond 1024 poses that buffer exceeds the 1 MB
+        # smem budget (measured: 1.01M at N=2048). Split into <=1024-pose
+        # sub-calls — the kernel itself is per-pose, so this is exact.
+        outs = []
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            outs.append(rasterize_direct_pallas(
+                verts16, pose_mats[lo:hi], model_ids[lo:hi],
+                anchors[lo:hi], proj, width=width, height=height,
+                stride=stride, roi_shape=roi_shape, interpret=interpret))
+        return jnp.concatenate(outs, axis=0)
     t = verts16.shape[2]
     tri_chunk = min(TRI_CHUNK, t)
     if t % tri_chunk:
