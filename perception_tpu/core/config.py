@@ -139,14 +139,14 @@ class EnvConfig:
                                               # cloud inside GICP refinement
     # TPU performance knobs (no reference analogue).
     roi_size: int = 0                         # strided ROI side; 0 = full frame
-    icp_render_scale: int = 1                 # coarse pre-ICP render factor.
-                                              # Off by default: renders the
-                                              # pre-ICP pass at stride*scale
-                                              # (+5% pipeline speed at 2) but
-                                              # the sparser ICP source measurably
-                                              # hurts convergence (ADD-S AUC
-                                              # 52.4 vs 58.9, under-2cm 34.8%
-                                              # vs 43.5% on 12 scenes).
+    icp_render_scale: int = 1                 # coarse pre-ICP render factor
+                                              # (needs roi_size). Renders the
+                                              # pre-ICP pass at stride*scale.
+                                              # Paired 150-scene zoo delta at
+                                              # 2: -0.6 [-2.5, +1.1] AUC (an
+                                              # earlier 12-scene -6.5 reading
+                                              # was noise) — opt-in with the
+                                              # other mild-negative knobs.
     icp_crop_targets: int = 256               # per-pose target crop for the
                                               # fused/NN ICP sweep (0 = off)
     cost_crop_targets: int = 256              # cost-stage target prefix cap
@@ -172,13 +172,12 @@ class EnvConfig:
                                               # pre-ICP render) | "model"
                                               # (render-free: surface samples
                                               # + facing-cosine mask as ICP
-                                              # source). Measured on v5e:
-                                              # "model" is +22% pipeline speed
-                                              # (29.9k vs 24.5k poses/s) at
-                                              # -0.9 ADD-S AUC and -6pp
-                                              # under-2cm over 24 scenes —
-                                              # opt-in, best for convex-ish
-                                              # meshes.
+                                              # source, skips one raster
+                                              # pass, ~+15% pipeline speed).
+                                              # Paired 150-scene zoo delta:
+                                              # -0.9 [-3.1, +1.3] AUC alone
+                                              # but combos trend -2 —
+                                              # kept opt-in.
     icp_model_samples: int = 256              # sample count for icp_source=
                                               # "model"
     # 3-DoF successor pruning (reference kUseHistogramPruning /

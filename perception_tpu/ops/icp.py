@@ -155,12 +155,19 @@ def solve_spd_6x6(h: jax.Array, g: jax.Array) -> jax.Array:
 
 def crop_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
                  centers: jax.Array, k: int) -> jax.Array:
-    """Indices [N, k] of the k target points nearest each pose centre — a
-    one-time selection that shrinks every ICP iteration's NN sweep.
-    Invalid targets sort last and stay invalid after the gather."""
+    """Indices [N, k] of (approximately) the k target points nearest each
+    pose centre — a one-time selection that shrinks every ICP iteration's
+    NN sweep. Invalid targets sort last and stay invalid after the gather.
+
+    Uses TPU-optimised `approx_max_k` (recall ~0.95): the crop is a
+    preselection with a generous margin around the object, so swapping a
+    few boundary points for slightly farther ones does not change the
+    in-range correspondences the GN steps actually use. (Exact top_k
+    lowers to a full sort on TPU — measured several ms per 2048-pose
+    batch.)"""
     d = jnp.sum((tgt_xyz - centers[:, None, :]) ** 2, axis=-1)
     d = jnp.where(tgt_valid, d, jnp.inf)
-    _, idx = jax.lax.top_k(-d, k)
+    _, idx = jax.lax.approx_max_k(-d, k)
     return idx
 
 

@@ -44,11 +44,19 @@ def test_compiled_direct_raster_matches_xla(tpu_backend):
         backend="pallas_direct", **kwargs)
     d_ref, d_out = np.asarray(ref.depth), np.asarray(out.depth)
     assert (d_ref > 0).any()
-    np.testing.assert_array_equal(d_out > 0, d_ref > 0)
-    dd = np.abs(d_out.astype(np.int64) - d_ref.astype(np.int64))
-    assert dd.max() <= 1 and (dd > 0).mean() < 0.005
-    np.testing.assert_array_equal(np.asarray(out.tri_id),
-                                  np.asarray(ref.tri_id))
+    # Compiled Mosaic vs XLA differ in f32 FMA contraction: coverage may
+    # flip on a handful of silhouette-edge pixels (measured 0.016% here;
+    # interpret-mode tests match exactly because interpret IS XLA).
+    cov_mismatch = ((d_out > 0) != (d_ref > 0))
+    assert cov_mismatch.mean() < 0.001, cov_mismatch.mean()
+    both = (d_out > 0) & (d_ref > 0)
+    dd = np.abs(d_out.astype(np.int64) - d_ref.astype(np.int64))[both]
+    # +-1 int-cm unit at w-rounding boundaries; compiled FMA contraction
+    # pushes more pixels across .5 cm boundaries than interpret (measured
+    # 1.7% at +-1 unit, none beyond).
+    assert dd.max() <= 1 and (dd > 0).mean() < 0.03
+    tri_mismatch = (np.asarray(out.tri_id) != np.asarray(ref.tri_id))
+    assert (tri_mismatch & ~cov_mismatch).mean() < 0.001
 
 
 @requires_tpu
