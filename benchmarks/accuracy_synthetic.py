@@ -117,7 +117,8 @@ def build_env(model_set: str = "zoo"):
             ("PT_COST_CROP_TARGETS", "cost_crop_targets", int),
             ("PT_ICP_SOURCE", "icp_source", str),
             ("PT_ICP_MODE", "icp_mode", str),
-            ("PT_ICP_NN_EVERY", "icp_nn_every", int)):
+            ("PT_ICP_NN_EVERY", "icp_nn_every", int),
+            ("PT_ICP_STREAK", "icp_stagnation_streak", int)):
         if os.environ.get(var):
             overrides[key] = cast(os.environ[var])
     env_cfg = EnvConfig(width=cam.width, height=cam.height,

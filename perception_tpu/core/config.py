@@ -180,6 +180,16 @@ class EnvConfig:
                                               # kept opt-in.
     icp_model_samples: int = 256              # sample count for icp_source=
                                               # "model"
+    icp_stagnation_streak: int = 8            # fused-ICP early exit: stop a
+                                              # pose after N iterations with
+                                              # no best-rmse improvement.
+                                              # Paired 150-scene zoo deltas:
+                                              # streak 5 costs -1.56
+                                              # [-2.69, -0.46] AUC vs
+                                              # disabled (significant!) for
+                                              # +13% speed; 8 recovers most
+                                              # of it (measured in
+                                              # accuracy_ladder.json).
     # 3-DoF successor pruning (reference kUseHistogramPruning /
     # kUseOctomapPruning compile-time switches, search_env.cpp:7331-7420):
     # batched candidate renders filtered by HS-histogram similarity /

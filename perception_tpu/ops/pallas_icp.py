@@ -48,15 +48,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Eval override: disable the per-pose early exit entirely.
-_STAGNATION_STREAK = (1e9 if os.environ.get("PT_ICP_NO_EARLY_EXIT")
-                      else 5.0)
+# Stagnation-streak early exit default. Measured on the paired 150-scene
+# zoo harness: streak=5 costs a SIGNIFICANT -1.56 [-2.69, -0.46] ADD-S AUC
+# vs no stagnation exit, for +13% pipeline speed — the default stays
+# accuracy-first at 8 (see config.py icp_stagnation_streak). Env
+# overrides: PT_ICP_NO_EARLY_EXIT=1 disables, PT_ICP_STREAK=<n> sets it.
+def _default_streak() -> float:
+    if os.environ.get("PT_ICP_NO_EARLY_EXIT"):
+        return 1e9
+    if os.environ.get("PT_ICP_STREAK"):
+        return float(os.environ["PT_ICP_STREAK"])
+    return 0.0   # 0 -> caller default (ScorerConfig)
+
+
 _GROUP = 4
 
 
 def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
                 g, p, s, max_iterations, max_corr_sq, damping, nn_every=1,
-                rot_eps_sq=4e-6, trn_eps_sq=2.5e-7):
+                rot_eps_sq=4e-6, trn_eps_sq=2.5e-7,
+                stagnation_streak=8.0):
     """src [G,3,P]; sadd [G,1,P]; tgt [G,S,8] packed
     (x, y, z, nx, ny, nz, n.t, validity-additive);
     out [G,8,128] (pose gi's delta in out[gi, 0:4, 0:4])."""
@@ -268,10 +279,8 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
         new_cur = tuple(
             jnp.where(active, nv, cv) for nv, cv in zip(raw_cur, cur_tf))
         # Per-pose early exit: step-epsilon convergence, or no significant
-        # best-rmse improvement for _STAGNATION_STREAK iterations. Measured
-        # trade-off on 14 random-SO(3) synthetic scenes: ~2 ADD-S AUC for
-        # ~1.4x pipeline speed (within small-sample noise); set
-        # PT_ICP_NO_EARLY_EXIT=1 to run the full trip count.
+        # best-rmse improvement for `stagnation_streak` iterations (paired
+        # accuracy pricing in the module docstring / config.py).
         rot_n2 = wx * wx + wy * wy + wz * wz
         trn_n2 = xi[3] * xi[3] + xi[4] * xi[4] + xi[5] * xi[5]
         step_small = (rot_n2 < rot_eps_sq) & (trn_n2 < trn_eps_sq)
@@ -279,7 +288,7 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
         new_streak = jnp.where(improved_sig, jnp.zeros_like(streak),
                                streak + 1.0)
         new_streak = jnp.where(active, new_streak, streak)
-        done_now = step_small | (new_streak >= _STAGNATION_STREAK) | (~ok)
+        done_now = step_small | (new_streak >= stagnation_streak) | (~ok)
         new_done = jnp.where(active & done_now, jnp.ones_like(done), done)
         all_done = new_done.min() > 0.5
         next_k = jnp.where(all_done, jnp.int32(max_iterations), k + 1)
@@ -325,7 +334,8 @@ def pack_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=(
     "max_iterations", "max_correspondence", "damping", "nn_every",
-    "rotation_epsilon", "transformation_epsilon", "interpret"))
+    "rotation_epsilon", "transformation_epsilon", "stagnation_streak",
+    "interpret"))
 def icp_fused_pallas(
     src_xyz: jax.Array,      # [N, P, 3]
     src_valid: jax.Array,    # [N, P]
@@ -338,9 +348,13 @@ def icp_fused_pallas(
     nn_every: int = 1,
     rotation_epsilon: float = 2e-3,
     transformation_epsilon: float = 5e-4,
+    stagnation_streak: float = 8.0,
     interpret: bool = False,
 ) -> jax.Array:
     """Camera-frame corrections [N, 4, 4] (pose' = delta @ pose)."""
+    env_streak = _default_streak()
+    if env_streak:
+        stagnation_streak = env_streak
     n, p, _ = src_xyz.shape
     s = tgt_packed.shape[1]
     # Pad P to lanes, S to sublanes, N to the pose group size.
@@ -377,7 +391,8 @@ def icp_fused_pallas(
         max_corr_sq=max_correspondence * max_correspondence, damping=damping,
         nn_every=nn_every,
         rot_eps_sq=rotation_epsilon * rotation_epsilon,
-        trn_eps_sq=transformation_epsilon * transformation_epsilon)
+        trn_eps_sq=transformation_epsilon * transformation_epsilon,
+        stagnation_streak=float(stagnation_streak))
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // _GROUP,),

@@ -60,7 +60,7 @@ from perception_tpu.ops.rasterizer import (
     TRI_ID_BITS,
 )
 
-TILE_PIX = 512
+TILE_PIX = 256
 TRI_CHUNK = 256
 
 

@@ -412,6 +412,7 @@ class PerceptionEnv:
             cost_crop_targets=env.cost_crop_targets,
             icp_source=env.icp_source,
             icp_nn_every=env.icp_nn_every,
+            icp_stagnation_streak=env.icp_stagnation_streak,
             depth_factor=env.gpu_depth_factor,
             roi_shape=roi,
             backend=env.kernel_backend,

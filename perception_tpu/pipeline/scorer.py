@@ -92,6 +92,9 @@ class ScorerConfig:
     icp_nn_every: int = 2         # fused ICP: re-associate NN every Nth
                                   # GN iteration (1 = reference-faithful;
                                   # 2 measured AUC-neutral, see EnvConfig)
+    icp_stagnation_streak: int = 8  # fused-ICP stagnation early exit
+                                    # (iterations without best-rmse
+                                    # improvement; see EnvConfig)
     icp_source: str = "render"    # "render": reference-faithful pre-ICP
                                   # render -> visible cloud; "model": skip
                                   # the pre-ICP render and use precomputed
@@ -285,7 +288,8 @@ def score_pose_batch(
                 max_correspondence=cfg.icp_max_correspondence,
                 nn_every=cfg.icp_nn_every,
                 rotation_epsilon=cfg.icp_rotation_epsilon,
-                transformation_epsilon=cfg.icp_transformation_epsilon)
+                transformation_epsilon=cfg.icp_transformation_epsilon,
+                stagnation_streak=cfg.icp_stagnation_streak)
         elif cfg.icp_mode == "gicp":
             from perception_tpu.ops.icp import cloud_normals, icp_gicp_batch
 
