@@ -144,6 +144,7 @@ def main() -> None:
 
     env = build_env(model_set)
     num_objects = int(_flag("objects", "3" if model_set == "zoo" else "2"))
+    num_samples = int(_flag("samples", "60"))
     gen = DatasetGenerator(env, np.random.default_rng(seed))
     scene_errors: list[list[float]] = []
     runtimes = []
@@ -161,7 +162,7 @@ def main() -> None:
             names = [env.bank.models[s.id].name for s in scene.states]
             cand_rows = generate_candidates(
                 (scene.depth.astype(np.float64) * 10), scene.label, names,
-                env.camera, depth_factor=1000.0, num_samples=60,
+                env.camera, depth_factor=1000.0, num_samples=num_samples,
                 cam_to_world=env._input.cam_to_world)
             candidates = env.generate_successors_6dof(cand_rows)
         state, chosen = env.compute_greedy_poses(candidates, do_icp=do_icp)
@@ -215,6 +216,7 @@ def main() -> None:
         "models": model_set,
         "mode": mode,
         "seed": seed,
+        "samples": num_samples,
         # Per-scene error lists enable PAIRED comparisons between runs on
         # identical seeds (benchmarks/compare_runs.py) — far tighter than
         # comparing two independent CIs.
