@@ -176,10 +176,7 @@ def mug(r=0.042, h=0.10, wall=0.007, handle_r=0.026):
 
 def bowl(r=0.065, h=0.042, wall=0.006):
     """Open hemispherical shell: strong concavity, axial symmetry."""
-    t = np.linspace(0, np.pi / 2, 8)
-    outer = np.c_[r * np.cos(t - np.pi / 2 + np.pi / 2) * np.sin(t + 1e-3),
-                  np.zeros(len(t))]
-    # Outer profile from rim down... build explicitly: radius grows with z.
+    # Radius grows with sqrt(z): a shallow spherical-cap profile.
     zs = np.linspace(0.0, h, 6)
     router = r * np.sqrt(np.clip(zs / h, 1e-4, 1.0))
     rinner = np.clip(router - wall, 1e-4, None)

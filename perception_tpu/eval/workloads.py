@@ -32,7 +32,6 @@ def run_on_image(recognizer, depth: np.ndarray, label_mask: np.ndarray,
     returns the recognizer's LocalizationResult."""
     from perception_tpu.pipeline.env import RecognitionInput
 
-    h, w = depth.shape
     rin = RecognitionInput(
         depth_image=depth.astype(np.float64),
         color_image=(color.astype(np.float32) if color is not None
