@@ -207,6 +207,14 @@ class EnvConfig:
                                               # but-wrong poses win more often
                                               # (single-view limitation shared
                                               # with the reference cost).
+    # Local rotation-refinement rounds around the greedy winners: each
+    # round re-scores every winner under pose_refinement_axes x 2 small
+    # camera-frame rotations (fibonacci axes; angles angle and angle/3)
+    # plus ICP, keeping the per-object argmin (pipeline/env.py
+    # _refine_winners; no reference analogue). 0 = off.
+    pose_refinement_rounds: int = 0
+    pose_refinement_axes: int = 12
+    pose_refinement_angle: float = 0.25       # rad
     fine_top_k: int = 8                       # candidates per model to refine
     icp_mode: str = "auto"                    # "auto" (fused on TPU, nn on
                                               # CPU) | "nn" | "fused" |
@@ -218,6 +226,16 @@ class EnvConfig:
         fields = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in fields}
         return cls(**kwargs)
+
+    def fast_profile(self) -> "EnvConfig":
+        """The documented speed profile: every knob whose paired 150-scene
+        AUC delta was a small, non-significant negative, combined
+        (+~25% throughput over the accuracy-first defaults; measured
+        point deltas in the field comments / accuracy_ladder.json). Use
+        when throughput matters more than the last ~2 AUC."""
+        return dataclasses.replace(
+            self, icp_source="model", icp_stagnation_streak=5,
+            icp_crop_targets=128)
 
 
 def load_yaml_config(path: str) -> tuple[PerchConfig, EnvConfig]:

@@ -563,6 +563,9 @@ class PerceptionEnv:
                 else (mid,)
             if key not in best or su.cost < best[key].cost:
                 best[key] = su
+        if self.env.pose_refinement_rounds and best:
+            best = self._refine_winners(best, do_icp, six_dof)
+
         state = GraphState()
         chosen = []
         for key in sorted(best):
@@ -589,6 +592,62 @@ class PerceptionEnv:
                         color[..., ::-1].astype(np.uint8))
         self.stats.scenes_valid = sum(1 for s in scored if s.cost >= 0)
         return state, chosen
+
+    def _refine_winners(self, best: dict, do_icp, six_dof: bool) -> dict:
+        """Local rotation-refinement rounds around the greedy winners.
+
+        No reference analogue (the reference runs one sweep): each round
+        re-scores every winner under a deterministic set of small rotation
+        perturbations (fibonacci axes x two magnitudes, applied in the
+        CAMERA frame about the object's own origin) plus the unperturbed
+        pose, and keeps the per-(model, segment) argmin. ICP re-runs on
+        every perturbation, so each round is a restart ladder that escapes
+        the local basin the sweep's nearest rotation sample landed in.
+        Cost: rounds x |winners| x (axes x mags + 1) scored poses — tiny
+        next to the sweep itself.
+        """
+        from perception_tpu.eval.sampling import sphere_fibonacci_grid
+
+        axes = sphere_fibonacci_grid(self.env.pose_refinement_axes)
+        mags = (self.env.pose_refinement_angle,
+                self.env.pose_refinement_angle / 3.0)
+
+        def rodrigues(axis, angle):
+            k = np.asarray([[0, -axis[2], axis[1]],
+                            [axis[2], 0, -axis[0]],
+                            [-axis[1], axis[0], 0]])
+            return (np.eye(3) + np.sin(angle) * k
+                    + (1 - np.cos(angle)) * (k @ k))
+
+        for _ in range(self.env.pose_refinement_rounds):
+            cands: list[ObjectState] = []
+            for key in sorted(best):
+                su = best[key]
+                mid = su.state.id
+                a = su.adjusted_pose_cam     # preprocessed-model -> camera
+                for axis in axes:
+                    for mag in mags:
+                        m = a.copy()
+                        m[:3, :3] = rodrigues(axis, mag) @ a[:3, :3]
+                        cand_pose = self.camera_to_world_pose(
+                            m, mid, remove_preprocessing=True)
+                        cands.append(ObjectState(
+                            id=mid, symmetric=su.state.symmetric,
+                            pose=cand_pose,
+                            segmentation_label_id=su.state.segmentation_label_id))
+            if not cands:
+                break
+            scored = self.score_object_states(cands, do_icp)
+            for su in scored:
+                if su.cost in (-1, -2):
+                    continue
+                if abs(su.target_cost - su.source_cost) >= 30:
+                    continue
+                key = ((su.state.id, su.state.segmentation_label_id)
+                       if six_dof else (su.state.id,))
+                if key in best and su.cost < best[key].cost:
+                    best[key] = su
+        return best
 
     # ------------------------------------------------------------------
     # Successor generation (GenerateSuccessorStates, search_env.cpp:7091+)

@@ -179,3 +179,27 @@ def test_occluded_far_candidate_invalid(observed_env):
     scored = env.score_object_states([cand], do_icp=False)
     # Either removed entirely (cost -1) or hugely unexplained.
     assert scored[0].cost == -1 or scored[0].target_cost > 50
+
+
+def test_pose_refinement_rounds_improve_rotation():
+    """Local rotation-refinement rounds recover a rotation-perturbed
+    winner (EnvConfig.pose_refinement_rounds; no reference analogue)."""
+    import dataclasses
+
+    from perception_tpu.core.pose import euler_xyz_to_matrix, matrix_to_quat
+
+    env = make_env()
+    env.set_observation_from_states(gt_states())
+    gt = gt_states()
+    pert = euler_xyz_to_matrix(0.18, -0.12, 0.15) @ gt[0].pose.rotation()
+    bad = ObjectState(
+        id=0, symmetric=False,
+        pose=ContPose.from_quat(gt[0].pose.x, gt[0].pose.y, gt[0].pose.z,
+                                *matrix_to_quat(pert)),
+        segmentation_label_id=1)
+    _, chosen0 = env.compute_greedy_poses([bad])
+    env.env = dataclasses.replace(env.env, pose_refinement_rounds=2,
+                                  pose_refinement_axes=8)
+    _, chosen = env.compute_greedy_poses([bad])
+    assert chosen and chosen0
+    assert chosen[0].cost < chosen0[0].cost
