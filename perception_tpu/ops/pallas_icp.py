@@ -40,7 +40,6 @@ trace-scaled damping, no step clamping.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -51,16 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 # Stagnation-streak early exit default. Measured on the paired 150-scene
 # zoo harness: streak=5 costs a SIGNIFICANT -1.56 [-2.69, -0.46] ADD-S AUC
 # vs no stagnation exit, for +13% pipeline speed — the default stays
-# accuracy-first at 8 (see config.py icp_stagnation_streak). Env
-# overrides: PT_ICP_NO_EARLY_EXIT=1 disables, PT_ICP_STREAK=<n> sets it.
-def _default_streak() -> float:
-    if os.environ.get("PT_ICP_NO_EARLY_EXIT"):
-        return 1e9
-    if os.environ.get("PT_ICP_STREAK"):
-        return float(os.environ["PT_ICP_STREAK"])
-    return 0.0   # 0 -> caller default (ScorerConfig)
-
-
+# accuracy-first at 8 (see config.py icp_stagnation_streak). The env
+# overrides (PT_ICP_NO_EARLY_EXIT / PT_ICP_STREAK) are resolved host-side
+# in pipeline/env.py _resolve_streak_env — the explicit argument here is
+# authoritative; reading os.environ inside the jitted body would capture
+# a stale value on cached retraces.
 _GROUP = 4
 
 
@@ -352,9 +346,6 @@ def icp_fused_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Camera-frame corrections [N, 4, 4] (pose' = delta @ pose)."""
-    env_streak = _default_streak()
-    if env_streak:
-        stagnation_streak = env_streak
     n, p, _ = src_xyz.shape
     s = tgt_packed.shape[1]
     # Pad P to lanes, S to sublanes, N to the pose group size.

@@ -218,7 +218,14 @@ def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
                 gamma = c[:, 3:4] * px + c[:, 4:5] * py + c[:, 5:6]
                 alpha = c[:, 6:7] * px + c[:, 7:8] * py + c[:, 8:9]
                 w = c[:, 9:10] * px + c[:, 10:11] * py + c[:, 11:12]
-                covered = jnp.minimum(alpha, jnp.minimum(beta, gamma)) >= 0.0
+                # Non-positive w loses naturally (negative int bits < 0
+                # init), but +Inf/NaN w — a vertex at/crossing the camera
+                # plane that survives upstream culling — bitcasts to a huge
+                # positive key and would win with a bogus near depth; the
+                # isfinite-and-positive term fuses into the min-compare.
+                covered = ((jnp.minimum(alpha, jnp.minimum(beta, gamma))
+                            >= 0.0)
+                           & jnp.isfinite(w) & (w > 0.0))
                 ids = (k * tri_chunk + jax.lax.broadcasted_iota(
                     jnp.int32, (tri_chunk, tile_pix), 0))
                 wkey = ((jax.lax.bitcast_convert_type(w, jnp.int32)

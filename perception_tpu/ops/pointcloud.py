@@ -26,6 +26,21 @@ class CloudBatch(NamedTuple):
     pixel: jax.Array     # [N, P] int32 flat strided-pixel index of each point
 
 
+@functools.lru_cache(maxsize=None)
+def _interleave_perm(n: int) -> np.ndarray:
+    """Deterministic low-discrepancy permutation of range(n).
+
+    Multiplicative stride near n/phi, forced coprime to n: consecutive
+    positions in the permuted order are ~golden-ratio-spaced in the
+    original (scan) order, so every prefix of the permutation is an
+    evenly-spread subsample of the whole range.
+    """
+    g = max(1, round(n * 0.6180339887)) | 1
+    while np.gcd(g, n) != 1:
+        g += 2
+    return (np.arange(n, dtype=np.int64) * g % n).astype(np.int32)
+
+
 def _strided_pixel_coords(width: int, height: int, stride: int):
     w_s, h_s = width // stride, height // stride
     xs = (np.arange(w_s) * stride).astype(np.float32)
@@ -212,11 +227,16 @@ def observed_cloud_from_depth(
     sel_lab = jnp.where(sel_valid, lab[order] - 1, -1)
     sel_pix = jnp.where(sel_valid, order, -1).astype(jnp.int32)
 
-    # Label partition: for each label l, the first seg_cap points with that
-    # label, in order.
+    # Label partition: for each label l, up to seg_cap points with that
+    # label. Points are taken in INTERLEAVED (coprime-stride) order rather
+    # than scan order, so that any downstream static prefix crop
+    # (cost_crop_targets / icp_crop_targets) is a spatially uniform
+    # subsample of the segment instead of a row-major top-of-mask slab.
+    perm = jnp.asarray(_interleave_perm(max_points))
+
     def one_segment(l):
         m = sel_valid & (sel_lab == l)
-        seg_order = jnp.argsort(~m, stable=True)[:seg_cap]
+        seg_order = perm[jnp.argsort(~m[perm], stable=True)[:seg_cap]]
         seg_v = m[seg_order]
         return (jnp.where(seg_v[:, None], sel_xyz[seg_order], 0.0),
                 jnp.where(seg_v[:, None], sel_rgb[seg_order], 0.0),

@@ -21,6 +21,7 @@ Host-side orchestration equal to the reference `EnvObjectRecognition`
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Sequence
 
@@ -47,6 +48,16 @@ from perception_tpu.pipeline.scorer import (
     score_pose_batch,
 )
 from perception_tpu.utils.stats import EnvStats
+
+
+def _resolve_streak_env(streak: int) -> int:
+    """Fused-ICP early-exit overrides (PT_ICP_NO_EARLY_EXIT=1 disables,
+    PT_ICP_STREAK=<n> sets the stagnation streak), applied host-side so
+    the value reaching the jitted kernel is always an explicit static."""
+    if os.environ.get("PT_ICP_NO_EARLY_EXIT"):
+        return 10**9
+    v = os.environ.get("PT_ICP_STREAK")
+    return int(v) if v else streak
 
 
 @dataclasses.dataclass
@@ -374,6 +385,11 @@ class PerceptionEnv:
 
     def _scorer_config(self, do_icp: bool | None = None,
                        stride: int | None = None) -> ScorerConfig:
+        """Build the device-side config. Env-var knobs (PT_ICP_*) are
+        resolved HERE, in host code, on every call: the jitted kernels only
+        ever see explicit static arguments, so in-process A/B runs that
+        mutate os.environ between calls get fresh values instead of a
+        stale traced capture."""
         cam, perch, env = self.camera, self.perch, self.env
         six_dof = self._input.use_external_pose_list
         if six_dof:
@@ -412,7 +428,8 @@ class PerceptionEnv:
             cost_crop_targets=env.cost_crop_targets,
             icp_source=env.icp_source,
             icp_nn_every=env.icp_nn_every,
-            icp_stagnation_streak=env.icp_stagnation_streak,
+            icp_stagnation_streak=_resolve_streak_env(
+                env.icp_stagnation_streak),
             depth_factor=env.gpu_depth_factor,
             roi_shape=roi,
             backend=env.kernel_backend,
@@ -522,17 +539,26 @@ class PerceptionEnv:
         """
         t0 = time.perf_counter()
         scored = self.score_object_states(candidates, do_icp)
-        num_models = len(self.bank.models)
 
         if self._scene_fine is not None:
             survivors = [su for su in scored
                          if su.cost >= 0
                          and abs(su.target_cost - su.source_cost) < 30]
+            # Group by the same key the final argmin uses: (model, segment)
+            # in 6-DoF external-pose-list mode, so one dominant instance of
+            # a model cannot claim every fine_top_k slot and starve other
+            # segments of the same model.
+            six = (self._input is not None
+                   and self._input.use_external_pose_list)
+            groups: dict[tuple, list[ScoredState]] = {}
+            for su in survivors:
+                key = ((su.state.id, su.state.segmentation_label_id)
+                       if six else (su.state.id,))
+                groups.setdefault(key, []).append(su)
             top: list[ScoredState] = []
-            for mid in range(num_models):
-                per = sorted((su for su in survivors if su.state.id == mid),
-                             key=lambda su: su.cost)[:self.env.fine_top_k]
-                top.extend(per)
+            for key in sorted(groups):
+                per = sorted(groups[key], key=lambda su: su.cost)
+                top.extend(per[:self.env.fine_top_k])
             if top:
                 # Re-score the refined poses at the fine stride (no second
                 # refinement round).

@@ -155,9 +155,18 @@ class ObjectRecognizer:
 
     def _result_from_state(self, state: GraphState) -> LocalizationResult:
         names, poses, tfs, pres = [], [], [], []
+        seg_names = (self.env._input.segmented_object_names
+                     if self.env._input is not None else [])
         for obj in state.object_states:
             model = self.bank.models[obj.id]
-            names.append(model.name)
+            # Prefer the per-segment instance name ("model#k" in sameshape
+            # scenes) so multi-instance results keep distinct identities —
+            # conveyor warm starts key detected_rows by this name.
+            lid = obj.segmentation_label_id
+            if 1 <= lid <= len(seg_names):
+                names.append(seg_names[lid - 1])
+            else:
+                names.append(model.name)
             poses.append(obj.pose)
             pre = model.preprocessing_transform
             tfs.append(obj.pose.transform() @ pre)

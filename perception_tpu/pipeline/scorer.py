@@ -205,6 +205,19 @@ def score_pose_batch(
     cost_xyz = scene.seg_xyz[:, :sc][labels]
     cost_rgb = scene.seg_rgb[:, :sc][labels]
     cost_valid = scene.seg_valid[:, :sc][labels]
+    if sc < s_full:
+        # Self-consistent crop accounting: both the observed-explained
+        # numerator and the rendered-cost NN run against the cropped target
+        # subset, so the observed denominator must be the SAME subset — not
+        # the full segment count the env passes in. Without this cap,
+        # segments larger than the crop give every pose an observed cost
+        # floor of (1 - sc/seg_count)*100 and the |target-source|<30
+        # validity filter rejects correct poses. The segment packing is an
+        # interleaved (coprime-stride) subsample, so the cropped subset is a
+        # spatially uniform sample and percentages remain comparable.
+        observed_total = jnp.minimum(
+            observed_total,
+            jnp.sum(cost_valid, axis=1).astype(observed_total.dtype))
 
     model_source = (cfg.do_icp and cfg.icp_source == "model"
                     and bank_icp_samples is not None

@@ -203,3 +203,36 @@ def test_pose_refinement_rounds_improve_rotation():
     _, chosen = env.compute_greedy_poses([bad])
     assert chosen and chosen0
     assert chosen[0].cost < chosen0[0].cost
+
+
+def test_cost_crop_accounting_consistent():
+    """Segments larger than cost_crop_targets must not inflate observed
+    cost: the denominator is capped to the cropped subset (advisor r2
+    high finding), so a perfect pose keeps |target-source| < 30 and a low
+    observed cost even when the segment has many more points than the
+    crop."""
+    v1, f1 = make_box(w=0.16, d=0.12, h=0.12)
+    c1 = np.tile([200.0, 40, 40], (len(v1), 1))
+    models = [mesh_model_from_arrays("big_box", v1, f1, colors=c1,
+                                     use_external_pose_list=True)]
+    bank = ModelBank.from_models(models, t_cap=16)
+    perch = PerchConfig(gpu_stride=1, gpu_batch_size=16,
+                        sensor_resolution=0.02,
+                        min_neighbor_points_for_valid_pose=5)
+    env_cfg = EnvConfig(
+        width=CAM.width, height=CAM.height,
+        max_points_per_pose=4096, max_observed_points=8192,
+        max_points_per_label=4096, max_labels=2,
+        cost_crop_targets=64, icp_downsample=2)
+    env = PerceptionEnv(bank, CAM, perch, env_cfg)
+    pose = ContPose.from_quat(0.55, 0.0, 0.0, 0, 0, 0, 1)
+    gt = [ObjectState(id=0, symmetric=False, pose=pose,
+                      segmentation_label_id=1)]
+    env.set_observation_from_states(gt)
+    seg_count = int(np.asarray(env._observed.seg_count)[0])
+    assert seg_count > 3 * 64, f"scene too small to stress the crop ({seg_count})"
+    scored = env.score_object_states(gt, do_icp=False)
+    su = scored[0]
+    assert su.cost >= 0
+    assert su.source_cost < 25.0, su.source_cost
+    assert abs(su.target_cost - su.source_cost) < 30
