@@ -52,15 +52,24 @@ def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     scenes = pos[0] if pos else "50"
     rungs = list(RUNGS)
+    noise = ""
     for a in sys.argv[1:]:
         if a.startswith("--rungs="):
             rungs = a.split("=", 1)[1].split(",")
+        if a.startswith("--noise="):
+            # Run every selected rung under the given sensor model
+            # (eval/sensor_model.py); results are keyed name@noise so the
+            # noisy ladder coexists with the legacy noise-free one.
+            noise = a.split("=", 1)[1]
 
     results = {}
     for name in rungs:
         argv, env_extra = RUNGS[name]
         env = dict(os.environ, **env_extra)
         cmd = [sys.executable, BENCH, scenes, *argv]
+        if noise:
+            cmd.append(f"--noise={noise}")
+            name = f"{name}@{noise}"
         print(f"=== {name}: {' '.join(cmd)} "
               f"{' '.join(f'{k}={v}' for k, v in env_extra.items())}",
               flush=True)

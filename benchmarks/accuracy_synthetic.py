@@ -146,6 +146,15 @@ def main() -> None:
     env = build_env(model_set)
     num_objects = int(_flag("objects", "3" if model_set == "zoo" else "2"))
     num_samples = int(_flag("samples", "60"))
+    # Sensor degradation of the rendered observation (--noise=kinect /
+    # kinect2x / none; PT_SENSOR env override). 'none' keeps the legacy
+    # circular setting for A/B; accuracy claims should quote the noisy
+    # numbers.
+    from perception_tpu.eval.sensor_model import by_name as sensor_by_name
+
+    noise_name = os.environ.get("PT_SENSOR", _flag("noise", "none"))
+    sensor = sensor_by_name(noise_name)
+    sensor = None if noise_name in ("none", "off", "") else sensor
     gen = DatasetGenerator(env, np.random.default_rng(seed))
     scene_errors: list[list[float]] = []
     runtimes = []
@@ -155,14 +164,22 @@ def main() -> None:
             y_range=(-0.2, 0.2), z_range=(-0.08, 0.08),
             yaw_only=False,
             min_separation=0.055 if model_set == "zoo" else 0.08)
-        env.set_observation_from_states(scene.states)
+        # Per-scene deterministic sensor rng: identical seeds give identical
+        # degradations across runs, so paired A/Bs stay paired under noise.
+        env.set_observation_from_states(
+            scene.states, sensor=sensor,
+            rng=np.random.default_rng((seed, si, 0xC0FFEE)))
         t0 = time.perf_counter()
         if mode == "gtinit":
             candidates = [s for s in scene.states if env.is_valid_pose(s)]
         else:
             names = [env.bank.models[s.id].name for s in scene.states]
+            # Candidates come from the (possibly degraded) OBSERVED depth —
+            # the reference estimates per-object centroids from the sensor
+            # image, never from a clean render (fat_pose_image.py:340).
+            obs_depth_cm = np.asarray(env._input.depth_image, np.float64)
             cand_rows = generate_candidates(
-                (scene.depth.astype(np.float64) * 10), scene.label, names,
+                obs_depth_cm * 10, np.asarray(env._input.label_mask), names,
                 env.camera, depth_factor=1000.0, num_samples=num_samples,
                 cam_to_world=env._input.cam_to_world)
             candidates = env.generate_successors_6dof(cand_rows)
@@ -218,6 +235,7 @@ def main() -> None:
         "mode": mode,
         "seed": seed,
         "samples": num_samples,
+        "noise": noise_name or "none",
         # Per-scene error lists enable PAIRED comparisons between runs on
         # identical seeds (benchmarks/compare_runs.py) — far tighter than
         # comparing two independent CIs.

@@ -73,7 +73,19 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
             *matrix_to_quat(euler_xyz_to_matrix(*rng.uniform(-1.5, 1.5, 3))))
         gt.append(ObjectState(id=i, symmetric=False, pose=pose,
                               segmentation_label_id=i + 1))
-    env.set_observation_from_states(gt)
+    # PT_SENSOR=kinect degrades the benchmark observation with the sensor
+    # model (eval/sensor_model.py) so perf can be measured on non-pristine
+    # input; default stays noise-free for bit-comparability with the
+    # round-1/2 numbers.
+    sensor_name = _os.environ.get("PT_SENSOR", "")
+    if sensor_name and sensor_name not in ("none", "off"):
+        from perception_tpu.eval.sensor_model import by_name
+
+        env.set_observation_from_states(
+            gt, sensor=by_name(sensor_name),
+            rng=np.random.default_rng((seed, 0xC0FFEE)))
+    else:
+        env.set_observation_from_states(gt)
 
     # Candidates: perturbations of GT across the three objects.
     cands = []

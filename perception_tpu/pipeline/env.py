@@ -240,14 +240,29 @@ class PerceptionEnv:
         self, states: Sequence[ObjectState],
         noise_std: float = 0.0,
         rng: np.random.Generator | None = None,
+        sensor=None,
     ) -> None:
         """Simulated ground-truth input: render the given scene state and use
         it as the observation (reference fake-input path,
         search_env.cpp:5777-5824). Labels are assigned per object in order.
+
+        `sensor` (eval.sensor_model.SensorModel) degrades the rendered
+        observation the way the reference's simulator does before scoring
+        (kinect_sim addNoise, range_likelihood.cpp:1203-1241): Gaussian +
+        quantisation depth noise, edge dropout, colour perturbation.
+        Without it the observation is bit-identical to the candidate
+        renderer's output at GT — fine for unit tests, circular for
+        accuracy claims. `noise_std` is the legacy plain-Gaussian knob.
         """
         depth, color, label = self.render_composite(states)
         depth_m = depth.astype(np.float64) / self.env.gpu_depth_factor
-        if noise_std > 0:
+        if sensor is not None:
+            rng = rng or np.random.default_rng(0)
+            depth_m, color = sensor.apply(depth_m, color, rng)
+            # Dropped pixels keep their instance label: the reference's
+            # masks come from a CNN/GT mask, not from depth validity, and
+            # segment packing filters depth<=0 itself.
+        elif noise_std > 0:
             rng = rng or np.random.default_rng(0)
             depth_m[depth_m > 0] += rng.normal(0, noise_std, (depth_m > 0).sum())
         rin = RecognitionInput(

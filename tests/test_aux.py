@@ -275,3 +275,52 @@ def test_view_generator_banks(tmp_path):
     assert len(clouds) == 12 and poses.shape == (12, 4, 4)
     assert all(len(c) > 10 for c in clouds)
     assert entropy.max() == 1.0 and entropy.min() > 0.0
+
+
+def test_sensor_model_degrades_and_is_deterministic():
+    import numpy as np
+    from perception_tpu.eval.sensor_model import KINECT_CLASS, NOISELESS, by_name
+
+    rng = np.random.default_rng(7)
+    depth = np.zeros((64, 64))
+    depth[16:48, 16:48] = 0.8
+    depth[24:40, 24:40] = 0.6   # a step edge inside the object
+    color = np.full((64, 64, 3), 128.0)
+
+    d1, c1 = KINECT_CLASS.apply(depth, color, np.random.default_rng(7))
+    d2, c2 = KINECT_CLASS.apply(depth, color, np.random.default_rng(7))
+    assert np.array_equal(d1, d2) and np.array_equal(c1, c2)
+
+    valid_before = (depth > 0).sum()
+    valid_after = (d1 > 0).sum()
+    assert valid_after < valid_before            # edge dropout happened
+    assert valid_after > 0.7 * valid_before      # but not catastrophic
+    changed = d1[(d1 > 0) & (depth > 0)]
+    ref = depth[(d1 > 0) & (depth > 0)]
+    assert np.abs(changed - ref).max() > 1e-4    # noise + quantisation
+    assert np.abs(changed - ref).max() < 0.05    # bounded
+    assert not np.array_equal(c1, color)
+
+    dn, cn = NOISELESS.apply(depth, color, np.random.default_rng(7))
+    assert np.array_equal(dn, depth) and np.array_equal(cn, color)
+    assert by_name("kinect2x").depth_std == 2 * KINECT_CLASS.depth_std
+
+
+def test_env_sensor_hook():
+    """set_observation_from_states(sensor=...) must yield a DIFFERENT
+    observed cloud from the clean render (the de-circularisation hook)."""
+    import numpy as np
+    from perception_tpu.eval.sensor_model import KINECT_CLASS
+    from tests.test_pipeline import make_env, gt_states
+
+    env = make_env()
+    env.set_observation_from_states(gt_states())
+    clean = np.asarray(env._observed.seg_xyz).copy()
+    clean_count = int(np.asarray(env._observed.count))
+    env.set_observation_from_states(
+        gt_states(), sensor=KINECT_CLASS, rng=np.random.default_rng(3))
+    noisy = np.asarray(env._observed.seg_xyz)
+    noisy_count = int(np.asarray(env._observed.count))
+    assert not np.array_equal(clean, noisy)
+    assert noisy_count < clean_count     # dropout removed pixels
+    assert noisy_count > clean_count // 2
