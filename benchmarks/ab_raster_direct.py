@@ -27,7 +27,7 @@ def main():
         bank_backface=env._bank_backface)
 
     outs = {}
-    for be in ("pallas", "pallas_direct"):
+    for be in ("pallas", "pallas_direct", "pallas_bin"):
         def fn(p, be=be):
             out = render_pose_batch(btv, btc, bok, p, ids, proj,
                                     backend=be, **kwargs)
@@ -40,11 +40,12 @@ def main():
         print(f"{be:14s} {sec*1e3:7.3f} ms/batch "
               f"({512/sec:,.0f} renders/s)", flush=True)
 
-    same = (outs["pallas"] == outs["pallas_direct"]).mean()
-    print(f"depth parity: {same*100:.4f}% pixels identical")
-    d = np.abs(outs["pallas"].astype(np.int64)
-               - outs["pallas_direct"].astype(np.int64))
-    print(f"max |d| cm: {d.max()}, mismatching px: {(d > 0).sum()}")
+    for be in ("pallas_direct", "pallas_bin"):
+        same = (outs["pallas"] == outs[be]).mean()
+        d = np.abs(outs["pallas"].astype(np.int64)
+                   - outs[be].astype(np.int64))
+        print(f"{be} vs pallas: {same*100:.4f}% identical, "
+              f"max |d| cm: {d.max()}, mismatching px: {(d > 0).sum()}")
 
 
 if __name__ == "__main__":

@@ -2,11 +2,12 @@
 
 The reference demo loads a captured kitchen point cloud, sets a search
 box over the table, and runs LocalizeObjects with MHA* over the (x, y,
-yaw) grid. Here the observation is generated (no data on disk): objects
-are dropped upright on a virtual table, the observed cloud is built from
-the rendered depth, and the same 3-DoF grid search (generate_successors
--> tree search with lazy evaluation, optional histogram/voxel pruning)
-recovers their poses.
+yaw) grid. Here the observation is GENERATED (a synthetic scene; for the
+reference's real captured demo frame see demo_reference_scene.py):
+objects are dropped upright on a virtual table, the observed cloud is
+built from the rendered depth, and the same 3-DoF grid search
+(generate_successors -> tree search with lazy evaluation, optional
+histogram/voxel pruning) recovers their poses.
 
     python examples/demo_3dof.py [output_dir] [--prune]
 """

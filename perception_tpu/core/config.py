@@ -78,6 +78,11 @@ class PerchConfig:
     gpu_batch_size: int = 700                 # poses per device dispatch
     gpu_stride: int = 8                       # pixel stride for cloud sampling
     gpu_occlusion_threshold: float = 1.0      # cm
+    use_tree_occlusion: bool = False          # render-occludes-source pose
+                                              # invalidation; the reference
+                                              # ships with USE_TREE 0
+                                              # (model.h:17) so greedy mode
+                                              # must leave this off
     use_cylinder_observed: bool = False
     footprint_tolerance: float = 0.05         # m
     depth_median_blur: int = 5

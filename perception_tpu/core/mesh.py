@@ -528,6 +528,8 @@ def mesh_model_from_arrays(
     verts: np.ndarray,
     faces: np.ndarray,
     colors: np.ndarray | None = None,
+    symmetric: bool = False,
+    symmetry_mode: int = 0,
     **preprocess_kwargs,
 ) -> MeshModel:
     """Build a MeshModel from in-memory arrays (tests / synthetic scenes)."""
@@ -542,6 +544,7 @@ def mesh_model_from_arrays(
         tri_colors = np.full((len(faces), 3), 128, dtype=np.uint8)
     return MeshModel(name=name, tri_verts=tri_verts, tri_colors=tri_colors,
                      preprocessing_transform=pre_transform,
+                     symmetric=symmetric, symmetry_mode=symmetry_mode,
                      full_tri_verts=tri_verts, backface_cullable=cullable)
 
 

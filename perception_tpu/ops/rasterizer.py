@@ -254,7 +254,8 @@ def default_backend() -> str:
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "stride", "tile",
-                     "use_segmentation_label", "backend", "roi_shape"),
+                     "use_segmentation_label", "use_tree_occlusion",
+                     "backend", "roi_shape"),
 )
 def render_pose_batch(
     bank_tri_verts: jax.Array,    # [M, T, 3, 3] float32 model frame (m)
@@ -272,6 +273,7 @@ def render_pose_batch(
     pose_labels: jax.Array | None = None,    # [N] int32 0-based segment labels
     occlusion_threshold: float = 1.0,        # cm
     use_segmentation_label: bool = False,
+    use_tree_occlusion: bool = False,
     tile: int = 256,
     backend: str = "auto",   # "pallas_direct" | "pallas" | "xla" | "auto"
     roi_shape: tuple[int, int] | None = None,  # (roi_h, roi_w) strided window
@@ -335,7 +337,20 @@ def render_pose_batch(
         pts2, z = screen_vertices(v_cam, proj, width, height)
         return triangle_coefficients(pts2, z, ok)
 
-    if backend in ("pallas_direct", "pallas_direct_interpret"):
+    if backend in ("pallas_bin", "pallas_bin_interpret"):
+        # Scatter-bin variant of the direct kernel: per-tile subchunk
+        # lists built by a scalar prepass replace chunk-bbox culling
+        # (pallas_raster_bin.py).
+        from perception_tpu.ops.pallas_raster_bin import rasterize_bin_pallas
+        from perception_tpu.ops.pallas_raster_direct import pack_bank_verts
+
+        verts12 = pack_bank_verts(bank_tri_verts, bank_tri_valid,
+                                  bank_backface)
+        keys = rasterize_bin_pallas(
+            verts12, pose_mats, pose_model_ids, anchors, proj,
+            width=width, height=height, stride=stride, roi_shape=roi_shape,
+            interpret=backend.endswith("interpret"))
+    elif backend in ("pallas_direct", "pallas_direct_interpret"):
         # Fully-fused path: camera transform + coefficients + raster in one
         # kernel reading the model bank directly (no [N, T] gather, no HBM
         # coefficient tables). The *_interpret variant runs the Pallas
@@ -438,9 +453,16 @@ def render_pose_batch(
         src_pos = src > 0
         # Source occludes render: drop the pixel (blacken + empty depth).
         removed = present & mismatch & (d > src) & src_pos
-        # Render occludes source: flag pose (reference USE_TREE path).
-        occluding = present & mismatch & (d <= src) & src_pos
-        pose_occluded = occluding.any(axis=1).astype(jnp.int32)
+        if use_tree_occlusion:
+            # Render occludes source -> hard-flag the pose. The reference
+            # compiles this OUT of its shipped greedy path (USE_TREE 0,
+            # model.h:17; the atomicOr at image_renderer.cuh:199-204 is
+            # dead code there): a candidate whose render pokes in front of
+            # distant background — e.g. any object near a table edge seen
+            # against the floor — must NOT be invalidated in greedy mode;
+            # its protruding pixels just count as unexplained.
+            occluding = present & mismatch & (d <= src) & src_pos
+            pose_occluded = occluding.any(axis=1).astype(jnp.int32)
         # Clutter accounting: fraction of rendered pixels hidden behind
         # clearly-closer source geometry (>= 5 cm, cuh:191).
         clutter = removed & (src <= d - 5)

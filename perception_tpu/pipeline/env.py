@@ -433,6 +433,7 @@ class PerceptionEnv:
             color_distance_threshold=perch.color_distance_threshold,
             occlusion_threshold=perch.gpu_occlusion_threshold,
             use_segmentation_label=six_dof,
+            use_tree_occlusion=perch.use_tree_occlusion,
             do_icp=do_icp,
             icp_mode=self._resolve_icp_mode(env.icp_mode),
             icp_max_iterations=min(perch.max_icp_iterations, 60),

@@ -77,6 +77,9 @@ class ScorerConfig:
     color_distance_threshold: float = 15.0
     occlusion_threshold: float = 1.0
     use_segmentation_label: bool = True
+    # Render-occludes-source pose invalidation: compiled out of the
+    # reference's shipped greedy build (USE_TREE 0) — see rasterizer.py.
+    use_tree_occlusion: bool = False
     do_icp: bool = True
     icp_mode: str = "nn"    # "nn" | "fused" | "projective"
     icp_max_iterations: int = 30
@@ -143,6 +146,7 @@ def _render_and_cloud(bank_tri_verts, bank_tri_colors, bank_tri_valid,
         pose_labels=pose_labels,
         occlusion_threshold=cfg.occlusion_threshold,
         use_segmentation_label=cfg.use_segmentation_label,
+        use_tree_occlusion=cfg.use_tree_occlusion,
         tile=cfg.raster_tile, backend=cfg.backend, roi_shape=cfg.roi_shape)
     if cfg.roi_shape is not None:
         cloud = depth_to_cloud_roi(

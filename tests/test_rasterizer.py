@@ -105,12 +105,16 @@ def test_occlusion_source_occludes_render(box_bank):
 
 
 def test_occlusion_render_occludes_source(box_bank):
-    # Source depth farther than render -> pixels kept, pose flagged.
+    # Source depth farther than render -> pixels kept. The pose flag is
+    # only raised in tree mode; the reference's greedy build compiles it
+    # out (USE_TREE 0, model.h:17).
     pose = pose_at(z=1.0)
     base = _render(box_bank, [pose])
     src = np.where(np.asarray(base.depth[0]) > 0, 500, 0).astype(np.int32)
     out = _render(box_bank, [pose], source_depth=src)
     assert np.array_equal(np.asarray(out.depth[0]), np.asarray(base.depth[0]))
+    assert int(out.pose_occluded[0]) == 0        # greedy default: no flag
+    out = _render(box_bank, [pose], source_depth=src, use_tree_occlusion=True)
     assert int(out.pose_occluded[0]) == 1
 
 
