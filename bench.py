@@ -51,7 +51,7 @@ def main() -> None:
     def step(p):
         out = score_pose_batch(btv, btc, bvl, p, mids, labels, totals,
                                proj, scene, cfg,
-                               bank_backface=env._bank_backface,
+                               bank_backface=env._render_bank[3],
                                bank_icp_samples=env._bank_icp_samples,
                                bank_icp_normals=env._bank_icp_normals)
         return out.rendered_cost

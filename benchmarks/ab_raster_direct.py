@@ -24,7 +24,7 @@ def main():
         pose_labels=labels, occlusion_threshold=cfg.occlusion_threshold,
         use_segmentation_label=cfg.use_segmentation_label,
         tile=cfg.raster_tile, roi_shape=cfg.roi_shape,
-        bank_backface=env._bank_backface)
+        bank_backface=env._render_bank[3])
 
     outs = {}
     for be in ("pallas", "pallas_direct", "pallas_bin"):

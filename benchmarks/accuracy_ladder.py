@@ -37,6 +37,9 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "gicp": ([], {"PT_ICP_MODE": "gicp"}),
     "icp_nn": ([], {"PT_ICP_MODE": "nn"}),
     "cost_crop_256": ([], {"PT_COST_CROP_TARGETS": "256"}),
+    "render_lod_256": ([], {"PT_RENDER_LOD": "256"}),
+    "render_lod_128": ([], {"PT_RENDER_LOD": "128"}),
+    "render_lod_64": ([], {"PT_RENDER_LOD": "64"}),
     "model_src_crop128": ([], {"PT_ICP_SOURCE": "model",
                                "PT_ICP_CROP_TARGETS": "128"}),
     # Proposed default combos (round-2 perf push).

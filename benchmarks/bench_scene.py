@@ -54,7 +54,8 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
     for var, key in (("PT_ICP_RENDER_SCALE", "icp_render_scale"),
                      ("PT_ICP_CROP_TARGETS", "icp_crop_targets"),
                      ("PT_COST_CROP_TARGETS", "cost_crop_targets"),
-                     ("PT_ICP_NN_EVERY", "icp_nn_every")):
+                     ("PT_ICP_NN_EVERY", "icp_nn_every"),
+                     ("PT_RENDER_LOD", "render_lod")):
         if _os.environ.get(var):
             overrides[key] = int(_os.environ[var])
     if _os.environ.get("PT_ICP_SOURCE"):
@@ -106,7 +107,10 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
     ids = np.asarray([s.id for s in cands], np.int32)
     labels = np.asarray([s.segmentation_label_id - 1 for s in cands], np.int32)
     totals = seg_count[labels]
-    args = (env._bank_tri_verts, env._bank_tri_colors, env._bank_tri_valid,
+    # Raster bank = env._render_bank so PT_RENDER_LOD reaches the measured
+    # pipeline exactly as compute_greedy_poses would.
+    rb_verts, rb_colors, rb_valid, _ = env._render_bank
+    args = (rb_verts, rb_colors, rb_valid,
             jax.device_put(poses), jax.device_put(ids),
             jax.device_put(labels), jax.device_put(totals),
             env._proj, env._scene)

@@ -145,6 +145,16 @@ class EnvConfig:
     # TPU performance knobs (no reference analogue).
     roi_size: int = 0                         # strided ROI side; 0 = full frame
     icp_render_scale: int = 1                 # coarse pre-ICP render factor
+    render_lod: int = 0                       # raster-bank triangle target
+                                              # (0 = full t_cap). Strided
+                                              # rasterisation samples the
+                                              # surface at stride spacing,
+                                              # so a resolution-matched
+                                              # decimated bank renders the
+                                              # same sampled geometry with
+                                              # proportionally fewer
+                                              # (tri x pixel) coverage ops
+                                              # (mesh.py ModelBank.decimated)
                                               # (needs roi_size). Renders the
                                               # pre-ICP pass at stride*scale.
                                               # Paired 150-scene zoo delta at

@@ -645,6 +645,41 @@ class ModelBank:
         return cls(models=models, tri_verts=tri_verts, tri_colors=tri_colors,
                    tri_valid=tri_valid, backface_cull=backface_cull)
 
+    def decimated(self, target_triangles: int) -> "ModelBank":
+        """Render-LOD bank: every model re-decimated to <= target_triangles.
+
+        TPU-native optimisation with no reference analogue: the reference
+        rasterises full-resolution meshes at full image resolution and
+        strides only at cloud extraction, but this framework rasterises the
+        strided SAMPLE GRID directly — at stride 8 a YCB-scale model's
+        triangles are sub-sample-size, so a resolution-matched decimation
+        renders the same sampled surface for a fraction of the
+        (triangle x pixel) coverage work. Accuracy-priced on the paired
+        zoo harness before being defaulted (see ARCHITECTURE.md).
+        """
+        lod_models = []
+        for m in self.models:
+            tri = m.tri_verts[:m.num_triangles].astype(np.float64)
+            soup = tri.reshape(-1, 3)
+            verts, inv = np.unique(soup.round(decimals=7), axis=0,
+                                   return_inverse=True)
+            faces = inv.reshape(-1, 3)
+            vcol = np.full((len(verts), 3), 128.0)
+            for c in range(3):
+                vcol[faces[:, c]] = m.tri_colors[:m.num_triangles]
+            dverts, dfaces, dcol = decimate_vertex_clustering(
+                verts, faces, vcol, target_triangles)
+            cullable, dfaces = analyze_winding(dverts, dfaces)
+            tri_verts = dverts[dfaces].astype(np.float32)
+            tri_colors = (dcol[dfaces].mean(axis=1)
+                          if dcol is not None
+                          else np.full((len(dfaces), 3), 128.0))
+            lod_models.append(dataclasses.replace(
+                m, tri_verts=tri_verts,
+                tri_colors=tri_colors.astype(np.uint8),
+                backface_cullable=bool(cullable and m.backface_cullable)))
+        return ModelBank.from_models(lod_models, t_cap=target_triangles)
+
     @property
     def names(self) -> list[str]:
         return [m.name for m in self.models]

@@ -52,8 +52,10 @@ from perception_tpu.ops.rasterizer import (
     TRI_ID_BITS,
 )
 
+# Defaults (overridable per call; sweep measured on v5e — see module
+# docstring).
 TILE_H = 8        # ROI rows per pixel tile
-TILE_W = 16       # ROI cols per pixel tile (tile_pix = 128 = lane width)
+TILE_W = 16       # ROI cols per pixel tile
 SUB_G = 16        # triangles per binned subchunk
 TRI_CHUNK = 256   # setup-phase chunk (same as direct kernel)
 
@@ -61,13 +63,12 @@ TRI_CHUNK = 256   # setup-phase chunk (same as direct kernel)
 def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
             coef_ref, rng_vmem_ref, rng_smem_ref, lists_ref, counts_ref,
             dma_sem, *, width, height, stride, n_chunks, tri_chunk,
-            n_sub, ntx, nty, roi_w, roi_h):
+            n_sub, ntx, nty, roi_w, roi_h, sub_g, tile_h, tile_w):
     pose_i = pl.program_id(0)
     x0 = anchor_ref[pose_i, 0]
     y0 = anchor_ref[pose_i, 1]
     n_tiles = ntx * nty
-    tile_pix = TILE_H * TILE_W
-    sub_per_chunk = tri_chunk // SUB_G
+    tile_pix = tile_h * tile_w
 
     p = [pose_ref[0, 0, i] for i in range(12)]    # model->camera 3x4 (m)
     pr = [proj_ref[0, i] for i in range(12)]      # projection rows 0..2
@@ -152,17 +153,17 @@ def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
         # on its FIRST lane; other lanes hold garbage partials).
         big = jnp.float32(3e38)
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, tri_chunk), 1)
-        seg_pos = lane % SUB_G
+        seg_pos = lane % sub_g
         zero2 = jnp.zeros((2, tri_chunk), jnp.float32)
         coords = jnp.concatenate([sx0, sx1, sx2, sy0, sy1, sy2, zero2],
                                  axis=0)                       # [8, TT]
         mn = jnp.where(ok, coords, big)
         mx = jnp.where(ok, coords, -big)
         shift = 1
-        while shift < SUB_G:
+        while shift < sub_g:
             # Left-circular shift by `shift` == roll right by size-shift
             # (pltpu.roll only accepts non-negative shifts).
-            keep = seg_pos < (SUB_G - shift)
+            keep = seg_pos < (sub_g - shift)
             mn = jnp.minimum(mn, jnp.where(
                 keep, pltpu.roll(mn, tri_chunk - shift, axis=1), big))
             mx = jnp.maximum(mx, jnp.where(
@@ -188,10 +189,10 @@ def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
         # Clamp into tile space; mark empty/off-ROI with tx0 > tx1.
         off = empty | (cx1 < 0) | (cx0 > roi_w - 1) | (ry1 < 0) \
             | (ry0 > roi_h - 1)
-        tx0 = jnp.clip(jnp.floor(cx0 / TILE_W), 0, ntx - 1)
-        tx1 = jnp.clip(jnp.floor(cx1 / TILE_W), 0, ntx - 1)
-        ty0 = jnp.clip(jnp.floor(ry0 / TILE_H), 0, nty - 1)
-        ty1 = jnp.clip(jnp.floor(ry1 / TILE_H), 0, nty - 1)
+        tx0 = jnp.clip(jnp.floor(cx0 / tile_w), 0, ntx - 1)
+        tx1 = jnp.clip(jnp.floor(cx1 / tile_w), 0, ntx - 1)
+        ty0 = jnp.clip(jnp.floor(ry0 / tile_h), 0, nty - 1)
+        ty1 = jnp.clip(jnp.floor(ry1 / tile_h), 0, nty - 1)
         tx0 = jnp.where(off, 1.0, tx0)
         tx1 = jnp.where(off, 0.0, tx1)
         ranges = jnp.concatenate(
@@ -222,7 +223,7 @@ def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
     jax.lax.fori_loop(0, n_tiles, clear_tile, 0)
 
     def bin_sub(s, _):
-        lane0 = s * SUB_G
+        lane0 = s * sub_g
         tx0 = rng_smem_ref[0, lane0]
         tx1 = rng_smem_ref[1, lane0]
         ty0 = rng_smem_ref[2, lane0]
@@ -247,25 +248,25 @@ def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
     # ---- Phase 4: per-tile raster over the binned subchunks only ----
     id_mask = jnp.int32(MAX_TRIS - 1)
     q = jax.lax.broadcasted_iota(jnp.int32, (1, tile_pix), 1)
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB_G, tile_pix), 0)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (sub_g, tile_pix), 0)
 
     def tile_body(j, _):
         tj_y = j // ntx
         tj_x = j % ntx
-        px = ((x0 + tj_x * TILE_W + q % TILE_W) * stride).astype(jnp.float32)
+        px = ((x0 + tj_x * tile_w + q % tile_w) * stride).astype(jnp.float32)
         py = (height - 1
-              - (y0 + tj_y * TILE_H + q // TILE_W) * stride).astype(
+              - (y0 + tj_y * tile_h + q // tile_w) * stride).astype(
                   jnp.float32)
 
         def sub_body(i, best):
             s = lists_ref[j, i]
-            c = coef_ref[pl.ds(s * SUB_G, SUB_G), :]       # [G, 16]
+            c = coef_ref[pl.ds(s * sub_g, sub_g), :]       # [G, 16]
             beta = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
             gamma = c[:, 3:4] * px + c[:, 4:5] * py + c[:, 5:6]
             alpha = c[:, 6:7] * px + c[:, 7:8] * py + c[:, 8:9]
             w = c[:, 9:10] * px + c[:, 10:11] * py + c[:, 11:12]
             covered = jnp.minimum(alpha, jnp.minimum(beta, gamma)) >= 0.0
-            ids = s * SUB_G + sub_iota
+            ids = s * sub_g + sub_iota
             wkey = ((jax.lax.bitcast_convert_type(w, jnp.int32)
                      & ~id_mask) | (id_mask - ids))
             cand = jnp.where(covered, wkey, 0)
@@ -290,17 +291,18 @@ def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _tile_perm(roi_h: int, roi_w: int) -> np.ndarray:
+def _tile_perm(roi_h: int, roi_w: int, tile_h: int, tile_w: int) -> np.ndarray:
     """Flat ROI pixel index -> (tile, within-tile) position."""
-    ntx = -(-roi_w // TILE_W)
+    ntx = -(-roi_w // tile_w)
     y, x = np.mgrid[0:roi_h, 0:roi_w]
-    j = (y // TILE_H) * ntx + x // TILE_W
-    qq = (y % TILE_H) * TILE_W + x % TILE_W
-    return (j * (TILE_H * TILE_W) + qq).reshape(-1).astype(np.int32)
+    j = (y // tile_h) * ntx + x // tile_w
+    qq = (y % tile_h) * tile_w + x % tile_w
+    return (j * (tile_h * tile_w) + qq).reshape(-1).astype(np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "stride",
-                                             "roi_shape", "interpret"))
+                                             "roi_shape", "interpret",
+                                             "sub_g", "tile_h", "tile_w"))
 def rasterize_bin_pallas(
     verts16: jax.Array,     # [M, 16, T] packed bank (pack_bank_verts)
     pose_mats: jax.Array,   # [N, 4, 4] model->camera (m)
@@ -313,6 +315,9 @@ def rasterize_bin_pallas(
     stride: int,
     roi_shape: tuple[int, int] | None = None,
     interpret: bool = False,
+    sub_g: int = SUB_G,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
 ) -> jax.Array:
     """Packed (depth << TRI_ID_BITS | tri_id) keys [N, Npix]."""
     n = pose_mats.shape[0]
@@ -323,7 +328,8 @@ def rasterize_bin_pallas(
             outs.append(rasterize_bin_pallas(
                 verts16, pose_mats[lo:hi], model_ids[lo:hi],
                 anchors[lo:hi], proj, width=width, height=height,
-                stride=stride, roi_shape=roi_shape, interpret=interpret))
+                stride=stride, roi_shape=roi_shape, interpret=interpret,
+                sub_g=sub_g, tile_h=tile_h, tile_w=tile_w))
         return jnp.concatenate(outs, axis=0)
     t = verts16.shape[2]
     tri_chunk = min(TRI_CHUNK, t)
@@ -332,7 +338,7 @@ def rasterize_bin_pallas(
         verts16 = jnp.pad(verts16, ((0, 0), (0, 0), (0, pad)))
         t += pad
     n_chunks = t // tri_chunk
-    n_sub = t // SUB_G
+    n_sub = t // sub_g
 
     if roi_shape is None:
         roi_h, roi_w = height // stride, width // stride
@@ -340,10 +346,10 @@ def rasterize_bin_pallas(
     else:
         roi_h, roi_w = roi_shape
     npix = roi_h * roi_w
-    ntx = -(-roi_w // TILE_W)
-    nty = -(-roi_h // TILE_H)
+    ntx = -(-roi_w // tile_w)
+    nty = -(-roi_h // tile_h)
     n_tiles = ntx * nty
-    tile_pix = TILE_H * TILE_W
+    tile_pix = tile_h * tile_w
 
     pose16 = jnp.zeros((n, 8, 16), jnp.float32)
     pose16 = pose16.at[:, 0, :12].set(pose_mats[:, :3, :].reshape(n, 12))
@@ -353,7 +359,8 @@ def rasterize_bin_pallas(
     kernel = functools.partial(
         _kernel, width=width, height=height, stride=stride,
         n_chunks=n_chunks, tri_chunk=tri_chunk, n_sub=n_sub,
-        ntx=ntx, nty=nty, roi_w=roi_w, roi_h=roi_h)
+        ntx=ntx, nty=nty, roi_w=roi_w, roi_h=roi_h,
+        sub_g=sub_g, tile_h=tile_h, tile_w=tile_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # anchors, model_ids
         grid=(n,),
@@ -385,5 +392,5 @@ def rasterize_bin_pallas(
         interpret=interpret,
     )(anchors.astype(jnp.int32), model_ids.astype(jnp.int32),
       verts16, pose16, proj16)
-    perm = jnp.asarray(_tile_perm(roi_h, roi_w))
+    perm = jnp.asarray(_tile_perm(roi_h, roi_w, tile_h, tile_w))
     return out.reshape(n, n_tiles * tile_pix)[:, perm]

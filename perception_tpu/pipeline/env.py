@@ -121,6 +121,15 @@ class PerceptionEnv:
         samp, snrm = bank.surface_samples(env.icp_model_samples)
         self._bank_icp_samples = jnp.asarray(samp)
         self._bank_icp_normals = jnp.asarray(snrm)
+        if env.render_lod and env.render_lod < bank.tri_valid.shape[1]:
+            lod = bank.decimated(env.render_lod)
+            self._render_bank = (jnp.asarray(lod.tri_verts),
+                                 jnp.asarray(lod.tri_colors),
+                                 jnp.asarray(lod.tri_valid),
+                                 jnp.asarray(lod.backface_cull))
+        else:
+            self._render_bank = (self._bank_tri_verts, self._bank_tri_colors,
+                                 self._bank_tri_valid, self._bank_backface)
 
     # ------------------------------------------------------------------
     # Input processing
@@ -506,13 +515,13 @@ class PerceptionEnv:
                 observed_total = np.full(len(chunk), total_points, np.float32)
 
             t0 = time.perf_counter()
+            rb_verts, rb_colors, rb_valid, rb_backface = self._render_bank
             scores: PoseScores = score_pose_batch(
-                self._bank_tri_verts, self._bank_tri_colors,
-                self._bank_tri_valid,
+                rb_verts, rb_colors, rb_valid,
                 jnp.asarray(poses.astype(np.float32)), jnp.asarray(ids),
                 jnp.asarray(labels), jnp.asarray(observed_total),
                 self._proj, scene, cfg,
-                bank_backface=self._bank_backface,
+                bank_backface=rb_backface,
                 bank_icp_samples=self._bank_icp_samples,
                 bank_icp_normals=self._bank_icp_normals)
             total = np.asarray(scores.total_cost)

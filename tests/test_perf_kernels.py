@@ -345,3 +345,63 @@ def test_fused_cost_matches_composed(rng):
                                np.asarray(ref.rendered_cost[0]), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out.observed_cost[2]),
                                np.asarray(ref.observed_cost[2]), rtol=1e-6)
+
+
+def test_bin_raster_matches_direct():
+    """Scatter-bin kernel == direct kernel bit-for-bit (same packed-key
+    epilogue); kept as the measured record of the round-3 prepass
+    experiment (see ARCHITECTURE.md roofline)."""
+    bank, poses, ids = _setup_two_models(seed=7)
+    proj = jnp.asarray(CAM.projection())
+    for roi in (None, (24, 24)):
+        kwargs = dict(width=CAM.width, height=CAM.height, stride=2, tile=16,
+                      roi_shape=roi,
+                      bank_backface=jnp.asarray(bank.backface_cull))
+        ref = render_pose_batch(
+            bank.tri_verts, bank.tri_colors, bank.tri_valid, poses, ids,
+            proj, backend="pallas_direct_interpret", **kwargs)
+        out = render_pose_batch(
+            bank.tri_verts, bank.tri_colors, bank.tri_valid, poses, ids,
+            proj, backend="pallas_bin_interpret", **kwargs)
+        np.testing.assert_array_equal(np.asarray(out.depth),
+                                      np.asarray(ref.depth))
+        np.testing.assert_array_equal(np.asarray(out.tri_id),
+                                      np.asarray(ref.tri_id))
+
+
+def test_lod_bank_renders_same_sampled_surface():
+    """ModelBank.decimated: at coarse sample spacing the LOD render's
+    depth must stay within sensor tolerance of the full bank's wherever
+    both cover, with nearly identical coverage."""
+    from scipy.spatial import ConvexHull
+
+    from perception_tpu.core.mesh import ModelBank, mesh_model_from_arrays
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(400, 3))
+    pts = 0.06 * pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    hull = ConvexHull(pts)
+    m = mesh_model_from_arrays("blob", pts, hull.simplices,
+                               colors=np.tile([150.0, 90, 60], (400, 1)))
+    bank = ModelBank.from_models([m], t_cap=len(hull.simplices))
+    poses = np.stack([np.eye(4, dtype=np.float32)])
+    poses[0][:3, 3] = [0.0, 0.0, 0.6]
+    ids = np.zeros(1, np.int32)
+    lod = bank.decimated(bank.tri_valid.shape[1] // 4)
+    assert lod.tri_valid.shape[1] <= bank.tri_valid.shape[1] // 2
+    proj = jnp.asarray(CAM.projection())
+    kwargs = dict(width=CAM.width, height=CAM.height, stride=2, tile=16)
+    ref = render_pose_batch(
+        bank.tri_verts, bank.tri_colors, bank.tri_valid, poses, ids, proj,
+        backend="xla", **kwargs)
+    out = render_pose_batch(
+        lod.tri_verts, lod.tri_colors, lod.tri_valid, poses, ids, proj,
+        backend="xla", **kwargs)
+    d_ref = np.asarray(ref.depth).astype(np.int64)
+    d_out = np.asarray(out.depth).astype(np.int64)
+    both = (d_ref > 0) & (d_out > 0)
+    assert both.sum() > 50
+    # Coverage deviates only at silhouettes; depth within 2 cm on overlap.
+    cov_flip = ((d_ref > 0) != (d_out > 0)).mean()
+    assert cov_flip < 0.05, cov_flip
+    assert np.abs(d_ref[both] - d_out[both]).max() <= 3
