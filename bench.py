@@ -53,7 +53,8 @@ def main() -> None:
                                proj, scene, cfg,
                                bank_backface=env._render_bank[3],
                                bank_icp_samples=env._bank_icp_samples,
-                               bank_icp_normals=env._bank_icp_normals)
+                               bank_icp_normals=env._bank_icp_normals,
+                               bank_tri_lab=env._render_bank_lab)
         return out.rendered_cost
 
     @jax.jit

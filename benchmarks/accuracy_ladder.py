@@ -40,6 +40,9 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "render_lod_256": ([], {"PT_RENDER_LOD": "256"}),
     "render_lod_128": ([], {"PT_RENDER_LOD": "128"}),
     "render_lod_64": ([], {"PT_RENDER_LOD": "64"}),
+    "cost_cloud_transform": ([], {"PT_COST_CLOUD": "transform"}),
+    "combo_lod128_transform": ([], {"PT_RENDER_LOD": "128",
+                                    "PT_COST_CLOUD": "transform"}),
     "model_src_crop128": ([], {"PT_ICP_SOURCE": "model",
                                "PT_ICP_CROP_TARGETS": "128"}),
     # Proposed default combos (round-2 perf push).

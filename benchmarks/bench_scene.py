@@ -43,10 +43,13 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
         models.append(mesh_model_from_arrays(
             f"blob{i}", v, f, colors=colors, use_external_pose_list=True))
     bank = ModelBank.from_models(models, t_cap=t_cap)
+    import os as _os
+
     perch = PerchConfig(gpu_stride=stride, gpu_batch_size=n_poses,
                         sensor_resolution=0.01,
-                        min_neighbor_points_for_valid_pose=8)
-    import os as _os
+                        min_neighbor_points_for_valid_pose=8,
+                        use_color_cost=bool(int(
+                            _os.environ.get("PT_USE_COLOR", "0"))))
 
     # Env-var knob overrides; ABSENT vars defer to the EnvConfig defaults
     # (the bench measures the shipped configuration).
@@ -60,6 +63,8 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
             overrides[key] = int(_os.environ[var])
     if _os.environ.get("PT_ICP_SOURCE"):
         overrides["icp_source"] = _os.environ["PT_ICP_SOURCE"]
+    if _os.environ.get("PT_COST_CLOUD"):
+        overrides["cost_cloud"] = _os.environ["PT_COST_CLOUD"]
     env_cfg = EnvConfig(width=width, height=height,
                         max_points_per_pose=1024, max_observed_points=8192,
                         max_points_per_label=1024, max_labels=4,

@@ -145,6 +145,13 @@ class EnvConfig:
     # TPU performance knobs (no reference analogue).
     roi_size: int = 0                         # strided ROI side; 0 = full frame
     icp_render_scale: int = 1                 # coarse pre-ICP render factor
+                                              # (needs roi_size). Renders the
+                                              # pre-ICP pass at stride*scale.
+                                              # Paired 150-scene zoo delta at
+                                              # 2: -0.6 [-2.5, +1.1] AUC (an
+                                              # earlier 12-scene -6.5 reading
+                                              # was noise) — opt-in with the
+                                              # other mild-negative knobs.
     render_lod: int = 0                       # raster-bank triangle target
                                               # (0 = full t_cap). Strided
                                               # rasterisation samples the
@@ -155,13 +162,6 @@ class EnvConfig:
                                               # proportionally fewer
                                               # (tri x pixel) coverage ops
                                               # (mesh.py ModelBank.decimated)
-                                              # (needs roi_size). Renders the
-                                              # pre-ICP pass at stride*scale.
-                                              # Paired 150-scene zoo delta at
-                                              # 2: -0.6 [-2.5, +1.1] AUC (an
-                                              # earlier 12-scene -6.5 reading
-                                              # was noise) — opt-in with the
-                                              # other mild-negative knobs.
     icp_crop_targets: int = 256               # per-pose target crop for the
                                               # fused/NN ICP sweep (0 = off)
     cost_crop_targets: int = 256              # cost-stage target prefix cap
@@ -195,6 +195,11 @@ class EnvConfig:
                                               # kept opt-in.
     icp_model_samples: int = 256              # sample count for icp_source=
                                               # "model"
+    cost_cloud: str = "render"                # post-ICP cost cloud: re-render
+                                              # (reference) or "transform"
+                                              # (move the first-pass cloud by
+                                              # the ICP delta; skips a raster
+                                              # pass - scorer.py)
     icp_stagnation_streak: int = 8            # fused-ICP early exit: stop a
                                               # pose after N iterations with
                                               # no best-rmse improvement.

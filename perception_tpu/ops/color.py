@@ -39,9 +39,51 @@ def ciede2000(lab1: jnp.ndarray, lab2: jnp.ndarray) -> jnp.ndarray:
     """CIEDE2000 colour distance, matching the reference device code
     (compute_costs.cuh:90-159) including its branch structure.
     """
+    return ciede2000_components(
+        lab1[..., 0], lab1[..., 1], lab1[..., 2],
+        lab2[..., 0], lab2[..., 1], lab2[..., 2])
+
+
+def _atan_poly(z):
+    """Minimax polynomial atan on [-1, 1] (max err ~1.5e-7 rad)."""
+    z2 = z * z
+    return z * (0.99997726 + z2 * (-0.33262347 + z2 * (0.19354346
+                + z2 * (-0.11643287 + z2 * (0.05265332
+                + z2 * -0.01172120)))))
+
+
+def atan2_poly(y, x):
+    """Branch-free polynomial atan2 from VPU-native ops (Mosaic has no
+    atan2 primitive; used by the colour-gated fused cost kernel). Range
+    (-pi, pi], atan2(0, 0) = 0; error ~1e-6 rad — far below the CIEDE2000
+    gate's sensitivity."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    z = mn / jnp.maximum(mx, 1e-30)
+    a = _atan_poly(z)
+    a = jnp.where(ay > ax, np.pi / 2 - a, a)
+    a = jnp.where(x < 0, np.pi - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
+def ciede2000_components(l1, a1, b1, l2, a2, b2, *,
+                         kernel_safe: bool = False) -> jnp.ndarray:
+    """ciede2000 on separate same-shape component arrays (the form the
+    fused Pallas cost kernel consumes: [1, P] lane vectors). kernel_safe
+    substitutes Mosaic-lowerable ops (polynomial atan2, where-based mod)
+    for the unsupported primitives."""
     eps = 1e-5
-    l1, a1, b1 = lab1[..., 0], lab1[..., 1], lab1[..., 2]
-    l2, a2, b2 = lab2[..., 0], lab2[..., 1], lab2[..., 2]
+    if kernel_safe:
+        _at2 = atan2_poly
+        def _mod2pi(v):
+            # v = atan2 + 2pi is in (pi, 3pi]; one conditional subtract
+            # equals jnp.mod on that range.
+            return jnp.where(v >= 2 * np.pi, v - 2 * np.pi, v)
+    else:
+        _at2 = jnp.arctan2
+        def _mod2pi(v):
+            return jnp.mod(v, 2 * np.pi)
 
     c1 = jnp.sqrt(a1**2 + b1**2)
     c2 = jnp.sqrt(a2**2 + b2**2)
@@ -56,8 +98,8 @@ def ciede2000(lab1: jnp.ndarray, lab2: jnp.ndarray) -> jnp.ndarray:
     c1 = jnp.sqrt(a1p**2 + b1**2)
     c2 = jnp.sqrt(a2p**2 + b2**2)
     two_pi = 2 * np.pi
-    h1 = jnp.mod(jnp.arctan2(b1, a1p) + two_pi, two_pi)
-    h2 = jnp.mod(jnp.arctan2(b2, a2p) + two_pi, two_pi)
+    h1 = _mod2pi(_at2(b1, a1p) + two_pi)
+    h2 = _mod2pi(_at2(b2, a2p) + two_pi)
 
     delta_l = l2 - l1
     delta_c = c2 - c1

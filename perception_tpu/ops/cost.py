@@ -68,13 +68,40 @@ def normalize_costs(raw_rendered, pose_point_num, observed_explained,
 def compute_costs_fused(
     cloud_xyz, cloud_valid, pose_occluded, tgt_xyz, tgt_valid,
     observed_total, *, sensor_resolution: float, interpret: bool = False,
+    cloud_lab=None, tgt_lab=None, color_distance_threshold: float = 15.0,
+    use_color: bool = False,
+    cloud_tri_id=None, model_ids=None, bank_lab8=None,
 ) -> "CostOutput":
-    """Depth-only cost via the fused Pallas NN+count kernel (types 0/2)."""
-    from perception_tpu.ops.pallas_cost import nn_cost_fused_pallas
+    """Cost via the fused Pallas NN+count kernel. Depth-only (types 0/2)
+    by default; with use_color the CIEDE2000 gate runs fused in-kernel
+    (types 1/3) so the colour cost is available at the perf defaults.
+    Colour inputs are CIELAB (convert once per bank/scene, not per
+    batch — see scorer.py). With cloud_tri_id/model_ids/bank_lab8, the
+    rendered colours are recovered in-kernel from the face table instead
+    of gathered per batch (the fast path; needs pixel==point order)."""
+    if use_color and cloud_tri_id is not None:
+        from perception_tpu.ops.pallas_cost import nn_cost_fused_color_tri_pallas
 
-    point_num, unexplained, explained = nn_cost_fused_pallas(
-        cloud_xyz, cloud_valid, tgt_xyz, tgt_valid,
-        sensor_resolution=sensor_resolution, interpret=interpret)
+        point_num, unexplained, explained = nn_cost_fused_color_tri_pallas(
+            cloud_xyz, cloud_valid, cloud_tri_id, model_ids, bank_lab8,
+            tgt_xyz, tgt_valid, tgt_lab,
+            sensor_resolution=sensor_resolution,
+            color_distance_threshold=color_distance_threshold,
+            interpret=interpret)
+    elif use_color:
+        from perception_tpu.ops.pallas_cost import nn_cost_fused_color_pallas
+
+        point_num, unexplained, explained = nn_cost_fused_color_pallas(
+            cloud_xyz, cloud_valid, cloud_lab, tgt_xyz, tgt_valid, tgt_lab,
+            sensor_resolution=sensor_resolution,
+            color_distance_threshold=color_distance_threshold,
+            interpret=interpret)
+    else:
+        from perception_tpu.ops.pallas_cost import nn_cost_fused_pallas
+
+        point_num, unexplained, explained = nn_cost_fused_pallas(
+            cloud_xyz, cloud_valid, tgt_xyz, tgt_valid,
+            sensor_resolution=sensor_resolution, interpret=interpret)
     occluded = pose_occluded.astype(bool)
     point_num = jnp.where(occluded, 0.0, point_num)
     unexplained = jnp.where(occluded, 0.0, unexplained)

@@ -486,21 +486,38 @@ def icp_gicp_batch(
         wmat = _inv_3x3_sym(cmb) * w[..., None, None]        # [N, P, 3, 3]
 
         r3 = cur - q                                          # [N, P, 3]
-        cx = _hat(cur)                                        # [N, P, 3, 3]
+        count = w.sum(axis=1)
+        # Rotate about the per-pose correspondence centroid, not the camera
+        # origin: at ~0.6 m range the origin-lever-arm couples rotation and
+        # translation with a conditioning penalty of (range/extent)^2 ~ 30x,
+        # which STACKS with the D2D weights' 1/(2 eps) ~ 500x anisotropy —
+        # the f32 normal equations then stall 1-3 cm from the optimum
+        # (measured: analytic-normal probe errs 14-28 mm un-centred vs
+        # sub-mm centred; the round-2 '47.5 AUC gicp collapse' was exactly
+        # this, not a formulation problem).
+        cen = (jnp.sum(cur * w[..., None], axis=1)
+               / jnp.maximum(count, 1.0)[:, None])             # [N, 3]
+        cx = _hat(cur - cen[:, None, :])                       # [N, P, 3, 3]
         jac = jnp.concatenate(
             [-cx, jnp.broadcast_to(eye3, cx.shape)], axis=-1)  # [N, P, 3, 6]
         wj = jnp.einsum("npab,npbj->npaj", wmat, jac)          # [N, P, 3, 6]
         h = jnp.einsum("npai,npaj->nij", jac, wj)
         g = -jnp.einsum("npaj,npa->nj", wj, r3)
 
-        count = w.sum(axis=1)
         ok = count >= 6
+        # Marquardt diagonal scaling (lambda * diag(H), not lambda *
+        # mean-trace * I): an isotropic floor drowns exactly the weak
+        # tangential directions the D2D weights leave.
         diag = jnp.diagonal(h, axis1=1, axis2=2)
-        h = h + (damping * diag.mean(axis=1)[:, None, None] + 1e-9) * jnp.eye(6)
+        h = h + jnp.eye(6) * (damping * diag + 1e-9)[:, None, :]
         h = jnp.where(ok[:, None, None], h, jnp.eye(6))
         xi = solve_spd_6x6(h, g)
         xi = jnp.where((ok & ~converged)[:, None], xi, 0.0)
         step = se3_exp(xi)
+        # Recompose the centred update as a camera-frame transform:
+        # x' = R_s (x - c) + c + t_s.
+        step = step.at[:, :3, 3].add(
+            cen - jnp.einsum("nij,nj->ni", step[:, :3, :3], cen))
         new_delta = jnp.einsum("nij,njk->nik", step, delta)
 
         # Mahalanobis mean residual for the stagnation test.

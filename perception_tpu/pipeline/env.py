@@ -130,6 +130,12 @@ class PerceptionEnv:
         else:
             self._render_bank = (self._bank_tri_verts, self._bank_tri_colors,
                                  self._bank_tri_valid, self._bank_backface)
+        # Face colours in CIELAB, converted once: the colour-gated fused
+        # cost renders Lab directly instead of converting [N, P, 3] RGB
+        # every batch (scorer.py).
+        from perception_tpu.ops.color import rgb_to_lab as _r2l
+
+        self._render_bank_lab = jnp.asarray(_r2l(self._render_bank[1]))
 
     # ------------------------------------------------------------------
     # Input processing
@@ -203,8 +209,11 @@ class PerceptionEnv:
         whole_normals = np.asarray(cloud_normals(
             observed.xyz[None], observed.valid[None], k=10))[0]
         map_normals[sel] = whole_normals[valid_pts]
+        from perception_tpu.ops.color import rgb_to_lab
+
         scene = ObservedScene(
             seg_xyz=observed.seg_xyz, seg_rgb=observed.seg_rgb,
+            seg_lab=jnp.asarray(rgb_to_lab(observed.seg_rgb)),
             seg_valid=observed.seg_valid, seg_normals=seg_normals,
             map_xyz=jnp.asarray(map_xyz),
             map_normals=jnp.asarray(map_normals),
@@ -452,6 +461,7 @@ class PerceptionEnv:
             icp_crop_targets=env.icp_crop_targets,
             cost_crop_targets=env.cost_crop_targets,
             icp_source=env.icp_source,
+            cost_cloud=env.cost_cloud,
             icp_nn_every=env.icp_nn_every,
             icp_stagnation_streak=_resolve_streak_env(
                 env.icp_stagnation_streak),
@@ -523,7 +533,8 @@ class PerceptionEnv:
                 self._proj, scene, cfg,
                 bank_backface=rb_backface,
                 bank_icp_samples=self._bank_icp_samples,
-                bank_icp_normals=self._bank_icp_normals)
+                bank_icp_normals=self._bank_icp_normals,
+                bank_tri_lab=self._render_bank_lab)
             total = np.asarray(scores.total_cost)
             rendered = np.asarray(scores.rendered_cost)
             observed = np.asarray(scores.observed_cost)

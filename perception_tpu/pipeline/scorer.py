@@ -50,6 +50,9 @@ class ObservedScene(NamedTuple):
 
     seg_xyz: jax.Array       # [L, S, 3]
     seg_rgb: jax.Array       # [L, S, 3]
+    seg_lab: jax.Array       # [L, S, 3] CIELAB of seg_rgb (precomputed once
+                             # per scene: the in-batch rgb->lab transcendental
+                             # chain measured ~2x the whole pipeline)
     seg_valid: jax.Array     # [L, S]
     seg_normals: jax.Array   # [L, S, 3]
     map_xyz: jax.Array       # [Npix, 3]
@@ -98,6 +101,11 @@ class ScorerConfig:
     icp_stagnation_streak: int = 8  # fused-ICP stagnation early exit
                                     # (iterations without best-rmse
                                     # improvement; see EnvConfig)
+    cost_cloud: str = "render"   # "render" | "transform": post-ICP cost
+                                 # cloud from a re-render (reference
+                                 # semantics) or by rigidly moving the
+                                 # first-pass cloud with the ICP delta
+                                 # (skips a whole raster+cloud pass)
     icp_source: str = "render"    # "render": reference-faithful pre-ICP
                                   # render -> visible cloud; "model": skip
                                   # the pre-ICP render and use precomputed
@@ -191,6 +199,7 @@ def score_pose_batch(
     bank_backface: jax.Array | None = None,  # [M] watertight-model flags
     bank_icp_samples: jax.Array | None = None,  # [M, K, 3] surface samples
     bank_icp_normals: jax.Array | None = None,  # [M, K, 3] face normals
+    bank_tri_lab: jax.Array | None = None,   # [M, T, 3] face colours in Lab
 ) -> PoseScores:
     """Render + (refine) + score one batch of candidate poses.
 
@@ -207,8 +216,32 @@ def score_pose_batch(
     s_full = scene.seg_xyz.shape[1]
     sc = min(cfg.cost_crop_targets or s_full, s_full)
     cost_xyz = scene.seg_xyz[:, :sc][labels]
-    cost_rgb = scene.seg_rgb[:, :sc][labels]
     cost_valid = scene.seg_valid[:, :sc][labels]
+    # Fused-cost eligibility is a static function of the config (cloud
+    # capacity = ROI pixels or the point cap), so the colour-channel choice
+    # can be made BEFORE rendering: the colour-gated fused kernel consumes
+    # CIELAB directly, and converting per-face bank colours once
+    # (bank_tri_lab) instead of [N, P, 3] rendered RGB every batch removes
+    # an rgb->lab transcendental chain that measured ~2x the whole
+    # pipeline. The composed fallback path keeps RGB.
+    p_cap = (cfg.roi_shape[0] * cfg.roi_shape[1] if cfg.roi_shape
+             else cfg.max_points_per_pose)
+    resolved_backend = (cfg.backend if cfg.backend != "auto"
+                        else default_backend())
+    fused_cost = (resolved_backend.startswith("pallas")
+                  and p_cap <= 2048 and sc <= 4096)
+    fused_color = fused_cost and cfg.cost_type in (1, 3) \
+        and bank_tri_lab is not None
+    # ROI clouds keep pixel==point order, so the winning face id from the
+    # raster keys lets the cost kernel recover rendered colours in-kernel
+    # (no [N, P, 3] colour gathers anywhere — they measured ~27 ms/batch,
+    # 3x the colour kernel itself). Without an ROI the cloud is compacted
+    # and the Lab-rendered colour channel is used instead.
+    tri_color = fused_color and cfg.roi_shape is not None
+    render_colors = (bank_tri_lab if (fused_color and not tri_color)
+                     else bank_tri_colors)
+    cost_rgb = (scene.seg_lab if fused_color
+                else scene.seg_rgb)[:, :sc][labels]
     if sc < s_full:
         # Self-consistent crop accounting: both the observed-explained
         # numerator and the rendered-cost NN run against the cropped target
@@ -265,12 +298,12 @@ def score_pose_batch(
             source_depth=scene.source_depth[::sc, ::sc],
             source_label=scene.source_label[::sc, ::sc])
         render, cloud = _render_and_cloud(
-            bank_tri_verts, bank_tri_colors, bank_tri_valid,
+            bank_tri_verts, render_colors, bank_tri_valid,
             poses, model_ids, proj, coarse_scene, pose_labels, coarse_cfg,
             bank_backface)
     else:
         render, cloud = _render_and_cloud(
-            bank_tri_verts, bank_tri_colors, bank_tri_valid,
+            bank_tri_verts, render_colors, bank_tri_valid,
             poses, model_ids, proj, scene, pose_labels, cfg, bank_backface)
 
     adjusted = poses
@@ -359,22 +392,56 @@ def score_pose_batch(
                 backend=backend)
             delta_mat = icp.delta
         adjusted = jnp.einsum("nij,njk->nik", delta_mat, poses)
-        # Re-render and re-cloud at the refined poses (renderer.cu:1740-1817).
-        render, cloud = _render_and_cloud(
-            bank_tri_verts, bank_tri_colors, bank_tri_valid,
-            adjusted, model_ids, proj, scene, pose_labels, cfg, bank_backface)
+        if (cfg.cost_cloud == "transform" and not model_source
+                and not coarse):
+            # Skip the post-ICP re-render: the refined-pose cloud is the
+            # first-pass cloud moved rigidly by the ICP delta. Exact for
+            # the surface points themselves; what it forgoes is the
+            # re-render's visibility update (self-occlusion changes and
+            # source-occludes-render pixel removal under the small ICP
+            # delta) — the reference re-renders (renderer.cu:1740-1817)
+            # because a CUDA raster pass is cheap there; here it is ~40%
+            # of the whole pipeline. Accuracy-priced on the paired zoo
+            # harness before defaulting.
+            moved = (jnp.einsum("nij,npj->npi", delta_mat[:, :3, :3],
+                                cloud.xyz)
+                     + delta_mat[:, None, :3, 3])
+            cloud = cloud._replace(xyz=jnp.where(
+                cloud.valid[..., None], moved, cloud.xyz))
+        else:
+            # Re-render and re-cloud at the refined poses
+            # (renderer.cu:1740-1817).
+            render, cloud = _render_and_cloud(
+                bank_tri_verts, render_colors, bank_tri_valid,
+                adjusted, model_ids, proj, scene, pose_labels, cfg,
+                bank_backface)
 
-    backend = cfg.backend if cfg.backend != "auto" else default_backend()
+    backend = resolved_backend
     # The fused cost kernel holds [256, P] tiles in VMEM; beyond ~2k points
-    # per pose it would overflow — fall back to the composed path.
-    if (backend.startswith("pallas") and cfg.cost_type not in (1, 3)
-            and cloud.xyz.shape[1] <= 2048 and cost_xyz.shape[1] <= 4096):
+    # per pose it would overflow — fall back to the composed path. RGB cost
+    # types run the colour-gated fused kernel (the round-2 gap: the one
+    # significant accuracy lever was unavailable at the perf defaults);
+    # cloud.rgb/cost_rgb already carry Lab in that case (see above).
+    if fused_cost and (not cfg.cost_type in (1, 3) or fused_color):
         from perception_tpu.ops.cost import compute_costs_fused
 
+        if tri_color:
+            from perception_tpu.ops.pallas_cost import pack_bank_lab
+
+            tri_kw = dict(
+                cloud_tri_id=render.tri_id.reshape(
+                    render.tri_id.shape[0], -1),
+                model_ids=model_ids,
+                bank_lab8=pack_bank_lab(bank_tri_lab))
+        else:
+            tri_kw = {}
         costs: CostOutput = compute_costs_fused(
             cloud.xyz, cloud.valid, render.pose_occluded,
             cost_xyz, cost_valid, observed_total,
-            sensor_resolution=cfg.sensor_resolution)
+            sensor_resolution=cfg.sensor_resolution,
+            cloud_lab=cloud.rgb, tgt_lab=cost_rgb,
+            color_distance_threshold=cfg.color_distance_threshold,
+            use_color=fused_color, **tri_kw)
     else:
         dist_sq, idx = _nn1(cloud.xyz, cloud.valid, cost_xyz, cost_valid, cfg)
         costs = compute_costs(

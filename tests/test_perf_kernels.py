@@ -405,3 +405,88 @@ def test_lod_bank_renders_same_sampled_surface():
     cov_flip = ((d_ref > 0) != (d_out > 0)).mean()
     assert cov_flip < 0.05, cov_flip
     assert np.abs(d_ref[both] - d_out[both]).max() <= 3
+
+
+def test_fused_color_cost_matches_composed(rng):
+    """Colour-gated fused kernel (types 1/3) == composed CIEDE2000 path."""
+    from perception_tpu.ops.cost import COST_TYPE_6DOF_RGB, compute_costs, compute_costs_fused
+    from perception_tpu.ops.knn import nn1_batch
+
+    n, p, s = 4, 48, 80
+    cloud = rng.normal(0, 0.05, (n, p, 3)).astype(np.float32)
+    cloud[..., 2] += 0.6
+    cvalid = rng.random((n, p)) > 0.25
+    tgt = rng.normal(0, 0.05, (n, s, 3)).astype(np.float32)
+    tgt[..., 2] += 0.6
+    tvalid = rng.random((n, s)) > 0.25
+    crgb = rng.uniform(0, 255, (n, p, 3)).astype(np.float32)
+    trgb = rng.uniform(0, 255, (n, s, 3)).astype(np.float32)
+    # Half the rendered points copy their nearest target's colour so the
+    # gate passes sometimes (pure random colours almost always fail it).
+    d, i = nn1_batch(jnp.asarray(cloud), jnp.asarray(cvalid),
+                     jnp.asarray(tgt), jnp.asarray(tvalid), ref_tile=16)
+    nn_rgb = np.take_along_axis(trgb, np.asarray(i)[..., None], axis=1)
+    copy = rng.random((n, p)) > 0.5
+    crgb[copy] = nn_rgb[copy] + rng.normal(0, 3, (int(copy.sum()), 3))
+    occl = np.zeros(n, np.int32)
+    totals = np.full(n, 60.0, np.float32)
+
+    ref = compute_costs(d, i, jnp.asarray(cvalid), jnp.asarray(occl),
+                        jnp.asarray(crgb), jnp.asarray(trgb),
+                        jnp.asarray(totals), sensor_resolution=0.03,
+                        color_distance_threshold=18.0,
+                        cost_type=COST_TYPE_6DOF_RGB)
+    from perception_tpu.ops.color import rgb_to_lab
+
+    out = compute_costs_fused(
+        jnp.asarray(cloud), jnp.asarray(cvalid), jnp.asarray(occl),
+        jnp.asarray(tgt), jnp.asarray(tvalid), jnp.asarray(totals),
+        sensor_resolution=0.03, interpret=True,
+        cloud_lab=rgb_to_lab(jnp.asarray(crgb)),
+        tgt_lab=rgb_to_lab(jnp.asarray(trgb)),
+        color_distance_threshold=18.0, use_color=True)
+    np.testing.assert_allclose(np.asarray(out.pose_point_num),
+                               np.asarray(ref.pose_point_num))
+    np.testing.assert_allclose(np.asarray(out.rendered_cost),
+                               np.asarray(ref.rendered_cost), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.observed_cost),
+                               np.asarray(ref.observed_cost), atol=1e-4)
+
+
+def test_fused_color_tri_kernel_matches_lab_kernel(rng):
+    """Tri-mode fused colour cost (in-kernel bank Lab recovery via the
+    winning face id) == the Lab-channel fused kernel given the same
+    effective per-point colours."""
+    from perception_tpu.ops.pallas_cost import (
+        nn_cost_fused_color_pallas,
+        nn_cost_fused_color_tri_pallas,
+        pack_bank_lab,
+    )
+
+    n, p, s, m, t = 4, 48, 80, 2, 24
+    cloud = rng.normal(0, 0.05, (n, p, 3)).astype(np.float32)
+    cloud[..., 2] += 0.6
+    cvalid = rng.random((n, p)) > 0.25
+    tgt = rng.normal(0, 0.05, (n, s, 3)).astype(np.float32)
+    tgt[..., 2] += 0.6
+    tvalid = rng.random((n, s)) > 0.25
+    tgt_lab = rng.uniform(0, 100, (n, s, 3)).astype(np.float32)
+    bank_lab = rng.uniform(0, 100, (m, t, 3)).astype(np.float32)
+    tri_id = rng.integers(0, t, (n, p)).astype(np.int32)
+    tri_id[~cvalid] = -1
+    model_ids = (np.arange(n) % m).astype(np.int32)
+
+    out_tri = nn_cost_fused_color_tri_pallas(
+        jnp.asarray(cloud), jnp.asarray(cvalid), jnp.asarray(tri_id),
+        jnp.asarray(model_ids), pack_bank_lab(jnp.asarray(bank_lab)),
+        jnp.asarray(tgt), jnp.asarray(tvalid), jnp.asarray(tgt_lab),
+        sensor_resolution=0.03, color_distance_threshold=18.0,
+        interpret=True)
+    cloud_lab = bank_lab[model_ids[:, None], np.maximum(tri_id, 0)]
+    out_lab = nn_cost_fused_color_pallas(
+        jnp.asarray(cloud), jnp.asarray(cvalid), jnp.asarray(cloud_lab),
+        jnp.asarray(tgt), jnp.asarray(tvalid), jnp.asarray(tgt_lab),
+        sensor_resolution=0.03, color_distance_threshold=18.0,
+        interpret=True)
+    for a, b in zip(out_tri, out_lab):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
