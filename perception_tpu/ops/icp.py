@@ -338,7 +338,8 @@ def icp_point_to_plane_batch(
         if backend.startswith("pallas"):
             from perception_tpu.ops.pallas_knn import nn1_batch_pallas
 
-            return nn1_batch_pallas(q, qv, r, rv)
+            return nn1_batch_pallas(q, qv, r, rv,
+                                    interpret=backend.endswith("interpret"))
         return nn1_batch(q, qv, r, rv, ref_tile=ref_tile)
 
     def body(carry):
@@ -463,7 +464,8 @@ def icp_gicp_batch(
         if backend.startswith("pallas"):
             from perception_tpu.ops.pallas_knn import nn1_batch_pallas
 
-            return nn1_batch_pallas(q, qv, r, rv)
+            return nn1_batch_pallas(q, qv, r, rv,
+                                    interpret=backend.endswith("interpret"))
         return nn1_batch(q, qv, r, rv, ref_tile=ref_tile)
 
     eye3 = jnp.eye(3)

@@ -179,7 +179,8 @@ def _nn1(cloud_xyz, cloud_valid, tgt_xyz, tgt_valid, cfg: ScorerConfig):
     if backend.startswith("pallas"):
         from perception_tpu.ops.pallas_knn import nn1_batch_pallas
 
-        return nn1_batch_pallas(cloud_xyz, cloud_valid, tgt_xyz, tgt_valid)
+        return nn1_batch_pallas(cloud_xyz, cloud_valid, tgt_xyz, tgt_valid,
+                                interpret=backend.endswith("interpret"))
     return nn1_batch(cloud_xyz, cloud_valid, tgt_xyz, tgt_valid,
                      ref_tile=cfg.knn_ref_tile)
 
@@ -339,7 +340,8 @@ def score_pose_batch(
                 nn_every=cfg.icp_nn_every,
                 rotation_epsilon=cfg.icp_rotation_epsilon,
                 transformation_epsilon=cfg.icp_transformation_epsilon,
-                stagnation_streak=cfg.icp_stagnation_streak)
+                stagnation_streak=cfg.icp_stagnation_streak,
+                interpret=resolved_backend.endswith("interpret"))
         elif cfg.icp_mode == "gicp":
             from perception_tpu.ops.icp import cloud_normals, icp_gicp_batch
 
@@ -439,6 +441,7 @@ def score_pose_batch(
             cloud.xyz, cloud.valid, render.pose_occluded,
             cost_xyz, cost_valid, observed_total,
             sensor_resolution=cfg.sensor_resolution,
+            interpret=backend.endswith("interpret"),
             cloud_lab=cloud.rgb, tgt_lab=cost_rgb,
             color_distance_threshold=cfg.color_distance_threshold,
             use_color=fused_color, **tri_kw)
