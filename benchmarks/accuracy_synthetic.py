@@ -141,6 +141,8 @@ def main() -> None:
         mode = "noicp"
     do_icp = mode != "noicp"
 
+    import jax
+
     from perception_tpu.eval.dataset_gen import DatasetGenerator
     from perception_tpu.eval.metrics import add_err, adi_err, compute_pose_metrics
     from perception_tpu.eval.ycb import generate_candidates
@@ -238,6 +240,10 @@ def main() -> None:
         "seed": seed,
         "samples": num_samples,
         "noise": noise_name or "none",
+        # Records which compiled stack produced the number (VERDICT r2 #7:
+        # the compiled-TPU kernels must produce AUC evidence, not only
+        # bounded pixel diffs).
+        "backend": jax.default_backend(),
         # Per-scene error lists enable PAIRED comparisons between runs on
         # identical seeds (benchmarks/compare_runs.py) — far tighter than
         # comparing two independent CIs.

@@ -71,6 +71,7 @@ def compute_costs_fused(
     cloud_lab=None, tgt_lab=None, color_distance_threshold: float = 15.0,
     use_color: bool = False,
     cloud_tri_id=None, model_ids=None, bank_lab8=None,
+    cloud_explain_only=None,
 ) -> "CostOutput":
     """Cost via the fused Pallas NN+count kernel. Depth-only (types 0/2)
     by default; with use_color the CIEDE2000 gate runs fused in-kernel
@@ -87,7 +88,7 @@ def compute_costs_fused(
             tgt_xyz, tgt_valid, tgt_lab,
             sensor_resolution=sensor_resolution,
             color_distance_threshold=color_distance_threshold,
-            interpret=interpret)
+            interpret=interpret, cloud_explain_only=cloud_explain_only)
     elif use_color:
         from perception_tpu.ops.pallas_cost import nn_cost_fused_color_pallas
 
@@ -95,13 +96,14 @@ def compute_costs_fused(
             cloud_xyz, cloud_valid, cloud_lab, tgt_xyz, tgt_valid, tgt_lab,
             sensor_resolution=sensor_resolution,
             color_distance_threshold=color_distance_threshold,
-            interpret=interpret)
+            interpret=interpret, cloud_explain_only=cloud_explain_only)
     else:
         from perception_tpu.ops.pallas_cost import nn_cost_fused_pallas
 
         point_num, unexplained, explained = nn_cost_fused_pallas(
             cloud_xyz, cloud_valid, tgt_xyz, tgt_valid,
-            sensor_resolution=sensor_resolution, interpret=interpret)
+            sensor_resolution=sensor_resolution, interpret=interpret,
+            cloud_explain_only=cloud_explain_only)
     occluded = pose_occluded.astype(bool)
     point_num = jnp.where(occluded, 0.0, point_num)
     unexplained = jnp.where(occluded, 0.0, unexplained)
@@ -131,6 +133,11 @@ def compute_costs(
     sensor_resolution: float,    # metres (unsquared; squared here as renderer.cu:1877)
     color_distance_threshold: float = 15.0,
     cost_type: int = COST_TYPE_6DOF,
+    cloud_explain_only: jax.Array | None = None,  # [N, P] aug-point mask:
+                                  # True rows may explain observed points but
+                                  # never count toward point_num/rendered
+                                  # cost (and bypass the colour gate) —
+                                  # cost_cloud="transform" hole filling
 ) -> CostOutput:
     n, p = knn_dist_sq.shape
     s = observed_rgb.shape[1]
@@ -138,20 +145,28 @@ def compute_costs(
 
     occluded = pose_occluded.astype(bool)
     active = cloud_valid & ~occluded[:, None]
+    if cloud_explain_only is None:
+        counted = active
+        aug = None
+    else:
+        counted = active & ~cloud_explain_only
+        aug = cloud_explain_only
     far = knn_dist_sq > thresh_sq
 
     if cost_type in (COST_TYPE_3DOF_RGBD, COST_TYPE_6DOF_RGB):
         nn_rgb = jnp.take_along_axis(observed_rgb, knn_idx[..., None], axis=1)
         cdist = ciede2000(rgb_to_lab(nn_rgb), rgb_to_lab(rendered_rgb))
         color_bad = cdist > color_distance_threshold
-        unexplained = active & (far | (~far & color_bad))
+        unexplained = counted & (far | (~far & color_bad))
         explains = active & ~far & ~color_bad
+        if aug is not None:
+            explains = explains | (active & ~far & aug)
     else:
-        unexplained = active & far
+        unexplained = counted & far
         explains = active & ~far
 
     raw_rendered = unexplained.sum(axis=1).astype(jnp.float32)
-    pose_point_num = active.sum(axis=1).astype(jnp.float32)
+    pose_point_num = counted.sum(axis=1).astype(jnp.float32)
 
     # Observed-explained matrix [N, S] via batched scatter-max
     # (replaces cuda_observed_explained writes, cuh:238-268).

@@ -59,8 +59,12 @@ def _cost_kernel(cloud_ref, cadd_ref, tgt_ref, tadd_ref, out_ref, *,
     dmin = jax.lax.fori_loop(
         0, n_tiles, pass1, jnp.full((1, p), jnp.inf, dtype=jnp.float32))
 
+    # cadd is a 3-state flag row: 0 = real rendered point, -1 = explain-only
+    # augmentation (fills observed-coverage holes in cost_cloud="transform"
+    # mode; never counts toward point_num / rendered cost), inf = invalid.
     valid = cadd == 0.0                             # [1, P]
-    close = (dmin <= max_dist_sq) & valid
+    explainer = cadd <= 0.0
+    close = (dmin <= max_dist_sq) & explainer
     point_num = valid.astype(jnp.float32).sum()
     unexplained = (valid & (dmin > max_dist_sq)).astype(jnp.float32).sum()
 
@@ -145,7 +149,12 @@ def _cost_kernel_color(*refs, p, s, r_tile, max_dist_sq, color_thresh,
         0, n_tiles, pass1, jnp.full((1, p), jnp.inf, dtype=jnp.float32))
 
     valid = cadd == 0.0                             # [1, P]
-    close = (dmin <= max_dist_sq) & valid
+    # 3-state flag (see _cost_kernel): -1 marks explain-only augmentation
+    # points; they may claim observed rows but never count in point_num /
+    # unexplained, and (carrying no rendered colour) bypass the gate.
+    explainer = cadd <= 0.0
+    is_aug = cadd == -1.0
+    close = (dmin <= max_dist_sq) & explainer
     point_num = valid.astype(jnp.float32).sum()
     far_count = (valid & (dmin > max_dist_sq)).astype(jnp.float32).sum()
 
@@ -174,7 +183,7 @@ def _cost_kernel_color(*refs, p, s, r_tile, max_dist_sq, color_thresh,
         claimed_here = onehot.astype(jnp.float32).max(axis=0, keepdims=True)
         de = ciede2000_components(tl, ta, tb, cl, ca, cb,
                                   kernel_safe=True)    # [1, P]
-        ok = de <= color_thresh
+        ok = (de <= color_thresh) | is_aug
         gated = onehot & close & ok
         explained_rows = gated.astype(jnp.float32).max(
             axis=1, keepdims=True)                  # [Rt, 1]
@@ -200,6 +209,14 @@ def _cost_kernel_color(*refs, p, s, r_tile, max_dist_sq, color_thresh,
     out_ref[0, :, :] = out
 
 
+def _cadd_flags(cloud_valid, cloud_explain_only):
+    """3-state flag row: 0 real, -1 explain-only augmentation, inf invalid."""
+    cadd = jnp.where(cloud_valid, 0.0, jnp.inf).astype(jnp.float32)
+    if cloud_explain_only is not None:
+        cadd = jnp.where(cloud_valid & cloud_explain_only, -1.0, cadd)
+    return cadd
+
+
 @functools.partial(jax.jit, static_argnames=("sensor_resolution", "interpret"))
 def nn_cost_fused_pallas(
     cloud_xyz: jax.Array,   # [N, P, 3]
@@ -208,6 +225,7 @@ def nn_cost_fused_pallas(
     tgt_valid: jax.Array,   # [N, S]
     sensor_resolution: float,
     interpret: bool = False,
+    cloud_explain_only: jax.Array | None = None,  # [N, P] aug-point mask
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(point_num [N], unexplained [N], observed_explained [N]) float32."""
     n, p, _ = cloud_xyz.shape
@@ -217,7 +235,7 @@ def nn_cost_fused_pallas(
     s_pad = ((s + r_tile - 1) // r_tile) * r_tile
 
     cloud_t = jnp.transpose(cloud_xyz, (0, 2, 1))
-    cadd = jnp.where(cloud_valid, 0.0, jnp.inf).astype(jnp.float32)[:, None, :]
+    cadd = _cadd_flags(cloud_valid, cloud_explain_only)[:, None, :]
     if p_pad != p:
         cloud_t = jnp.pad(cloud_t, ((0, 0), (0, 0), (0, p_pad - p)))
         cadd = jnp.pad(cadd, ((0, 0), (0, 0), (0, p_pad - p)),
@@ -263,6 +281,7 @@ def nn_cost_fused_color_pallas(
     sensor_resolution: float,
     color_distance_threshold: float,
     interpret: bool = False,
+    cloud_explain_only: jax.Array | None = None,  # [N, P] aug-point mask
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Colour-gated fused cost (types 1/3):
     (point_num [N], unexplained [N], observed_explained [N]) float32.
@@ -279,7 +298,7 @@ def nn_cost_fused_color_pallas(
     r_tile = min(R_TILE, s)
     s_pad = ((s + r_tile - 1) // r_tile) * r_tile
 
-    cadd = jnp.where(cloud_valid, 0.0, jnp.inf).astype(jnp.float32)
+    cadd = _cadd_flags(cloud_valid, cloud_explain_only)
     cloud_pack = jnp.concatenate(
         [cloud_xyz, cadd[..., None], cloud_lab,
          jnp.zeros((n, p, 1), jnp.float32)], axis=-1)     # [N, P, 8]
@@ -346,6 +365,7 @@ def nn_cost_fused_color_tri_pallas(
     sensor_resolution: float,
     color_distance_threshold: float,
     interpret: bool = False,
+    cloud_explain_only: jax.Array | None = None,  # [N, P] aug-point mask
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Colour-gated fused cost with IN-KERNEL rendered-colour recovery:
     the winning face id (free from the raster's packed keys) plus the
@@ -359,8 +379,10 @@ def nn_cost_fused_color_tri_pallas(
     r_tile = min(R_TILE, s)
     s_pad = ((s + r_tile - 1) // r_tile) * r_tile
 
-    cadd = jnp.where(cloud_valid, 0.0, jnp.inf).astype(jnp.float32)
+    cadd = _cadd_flags(cloud_valid, cloud_explain_only)
     tidf = jnp.where(cloud_valid, cloud_tri_id, -1).astype(jnp.float32)
+    if cloud_explain_only is not None:
+        tidf = jnp.where(cloud_explain_only, -1.0, tidf)
     cloud_pack = jnp.concatenate(
         [cloud_xyz, cadd[..., None], tidf[..., None],
          jnp.zeros((n, p, 3), jnp.float32)], axis=-1)     # [N, P, 8]

@@ -227,6 +227,10 @@ def score_pose_batch(
     # pipeline. The composed fallback path keeps RGB.
     p_cap = (cfg.roi_shape[0] * cfg.roi_shape[1] if cfg.roi_shape
              else cfg.max_points_per_pose)
+    if cfg.cost_cloud == "transform" and bank_icp_samples is not None:
+        # transform mode appends K explain-only surface samples to the
+        # cost cloud (coverage-hole augmentation below).
+        p_cap += bank_icp_samples.shape[1]
     resolved_backend = (cfg.backend if cfg.backend != "auto"
                         else default_backend())
     fused_cost = (resolved_backend.startswith("pallas")
@@ -308,6 +312,7 @@ def score_pose_batch(
             poses, model_ids, proj, scene, pose_labels, cfg, bank_backface)
 
     adjusted = poses
+    explain_only = None
     if cfg.do_icp:
         src_nrm = None
         if model_source:
@@ -410,6 +415,36 @@ def score_pose_batch(
                      + delta_mat[:, None, :3, 3])
             cloud = cloud._replace(xyz=jnp.where(
                 cloud.valid[..., None], moved, cloud.xyz))
+            if bank_icp_samples is not None:
+                # Coverage-hole augmentation. The measured failure mode of
+                # the bare moved cloud is on the OBSERVED side: surface
+                # regions visible at the refined pose but not sampled at
+                # the pre-ICP pose leave observed points unexplained
+                # (winner observed_cost 7 -> 17 on the zoo probe; rendered
+                # cost was FINE, 2.1 -> 0.9). Appending the static
+                # per-model surface samples at the adjusted pose — front
+                # hemisphere only, flagged explain-only in the cost
+                # kernels (they claim observed rows but never count in
+                # point_num / rendered cost) — restores coverage with no
+                # raster pass and no per-pose dynamic shapes.
+                samp = bank_icp_samples[model_ids]          # [N, K, 3]
+                snrm = bank_icp_normals[model_ids]
+                rot = adjusted[:, :3, :3]
+                aug_xyz = (jnp.einsum("nij,nkj->nki", rot, samp)
+                           + adjusted[:, None, :3, 3])
+                n_cam = jnp.einsum("nij,nkj->nki", rot, snrm)
+                aug_valid = jnp.sum(n_cam * aug_xyz, axis=-1) < 0.0
+                n_b, p_b = cloud.valid.shape
+                k_b = aug_xyz.shape[1]
+                cloud = cloud._replace(
+                    xyz=jnp.concatenate([cloud.xyz, aug_xyz], axis=1),
+                    rgb=jnp.concatenate(
+                        [cloud.rgb,
+                         jnp.zeros((n_b, k_b, 3), cloud.rgb.dtype)], axis=1),
+                    valid=jnp.concatenate([cloud.valid, aug_valid], axis=1))
+                explain_only = jnp.concatenate(
+                    [jnp.zeros((n_b, p_b), bool),
+                     jnp.ones((n_b, k_b), bool)], axis=1)
         else:
             # Re-render and re-cloud at the refined poses
             # (renderer.cu:1740-1817).
@@ -430,9 +465,15 @@ def score_pose_batch(
         if tri_color:
             from perception_tpu.ops.pallas_cost import pack_bank_lab
 
+            tri_id_flat = render.tri_id.reshape(render.tri_id.shape[0], -1)
+            if explain_only is not None:
+                tri_id_flat = jnp.concatenate(
+                    [tri_id_flat,
+                     jnp.full((tri_id_flat.shape[0],
+                               cloud.xyz.shape[1] - tri_id_flat.shape[1]),
+                              -1, tri_id_flat.dtype)], axis=1)
             tri_kw = dict(
-                cloud_tri_id=render.tri_id.reshape(
-                    render.tri_id.shape[0], -1),
+                cloud_tri_id=tri_id_flat,
                 model_ids=model_ids,
                 bank_lab8=pack_bank_lab(bank_tri_lab))
         else:
@@ -444,7 +485,8 @@ def score_pose_batch(
             interpret=backend.endswith("interpret"),
             cloud_lab=cloud.rgb, tgt_lab=cost_rgb,
             color_distance_threshold=cfg.color_distance_threshold,
-            use_color=fused_color, **tri_kw)
+            use_color=fused_color, cloud_explain_only=explain_only,
+            **tri_kw)
     else:
         dist_sq, idx = _nn1(cloud.xyz, cloud.valid, cost_xyz, cost_valid, cfg)
         costs = compute_costs(
@@ -452,7 +494,7 @@ def score_pose_batch(
             cloud.rgb, cost_rgb, observed_total,
             sensor_resolution=cfg.sensor_resolution,
             color_distance_threshold=cfg.color_distance_threshold,
-            cost_type=cfg.cost_type)
+            cost_type=cfg.cost_type, cloud_explain_only=explain_only)
 
     # Total-cost combination from ComputeGreedyCostsInParallelGPU
     # (search_env.cpp:2022-2036): -1 sentinel propagates; otherwise
