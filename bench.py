@@ -1,7 +1,8 @@
 """Benchmark: candidate poses rendered + scored per second on one chip.
 
 Runs the full unified pipeline (render -> cloud -> NN-ICP refine ->
-re-render -> 1-NN -> cost) on a realistic rendered scene at YCB scale:
+transform+augment -> 1-NN -> cost) on a realistic rendered scene at YCB
+scale:
 640x480 at stride 8, ~1k-triangle models, 3-object scene with genuine
 occlusion/segment structure, candidates perturbed around ground truth so
 refinement behaves as in real greedy recognition (benchmarks/bench_scene).
@@ -91,7 +92,8 @@ def main() -> None:
                    f"pallas_direct nn_every={cfg.icp_nn_every} "
                    f"icp_crop={cfg.icp_crop_targets} "
                    f"cost_crop={cfg.cost_crop_targets} "
-                   f"src={cfg.icp_source}"),
+                   f"src={cfg.icp_source} "
+                   f"cost_cloud={cfg.cost_cloud}"),
     }
     print(json.dumps(result))
 

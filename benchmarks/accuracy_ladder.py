@@ -35,6 +35,8 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "nn_every_2": ([], {"PT_ICP_NN_EVERY": "2"}),
     "no_early_exit": ([], {"PT_ICP_NO_EARLY_EXIT": "1"}),
     "gicp": ([], {"PT_ICP_MODE": "gicp"}),
+    "gicp_eps1e3": ([], {"PT_ICP_MODE": "gicp",
+                         "PT_GICP_EPSILON": "0.001"}),
     "icp_nn": ([], {"PT_ICP_MODE": "nn"}),
     "cost_crop_256": ([], {"PT_COST_CROP_TARGETS": "256"}),
     "render_lod_256": ([], {"PT_RENDER_LOD": "256"}),

@@ -195,11 +195,19 @@ class EnvConfig:
                                               # kept opt-in.
     icp_model_samples: int = 256              # sample count for icp_source=
                                               # "model"
-    cost_cloud: str = "render"                # post-ICP cost cloud: re-render
-                                              # (reference) or "transform"
-                                              # (move the first-pass cloud by
-                                              # the ICP delta; skips a raster
-                                              # pass - scorer.py)
+    cost_cloud: str = "transform"             # post-ICP cost cloud:
+                                              # "transform" (default: move
+                                              # the first-pass cloud by the
+                                              # ICP delta + explain-only
+                                              # surface-sample augmentation;
+                                              # skips the re-render raster
+                                              # pass, 41.5k -> 57.7k poses/s,
+                                              # paired AUC delta -0.98
+                                              # [-2.75, +0.64] n.s.) or
+                                              # "render" (re-render at the
+                                              # refined pose, reference
+                                              # semantics renderer.cu:
+                                              # 1740-1817)
     icp_stagnation_streak: int = 8            # fused-ICP early exit: stop a
                                               # pose after N iterations with
                                               # no best-rmse improvement.
@@ -238,7 +246,17 @@ class EnvConfig:
     fine_top_k: int = 8                       # candidates per model to refine
     icp_mode: str = "auto"                    # "auto" (fused on TPU, nn on
                                               # CPU) | "nn" | "fused" |
-                                              # "projective"
+                                              # "projective" | "gicp"
+    icp_gicp_epsilon: float = 0.05            # GICP plane-covariance floor
+                                              # (fast_gicp uses 1e-3 with
+                                              # k=20 covariances; with this
+                                              # framework's sparser clouds
+                                              # the 1/(2 eps) normal-dir
+                                              # weight at 1e-3 overfits
+                                              # noisy correspondences —
+                                              # measured 5x worse on the
+                                              # noisy-target probe and -9.5
+                                              # AUC on the zoo ladder)
     kernel_backend: str = "auto"              # "pallas" | "xla" | "auto"
 
     @classmethod

@@ -443,10 +443,23 @@ def icp_gicp_batch(
     3x3 eigendecompositions in the loop, and the rotated source covariance
     R C_s R^T is just the rotated source normal. The per-correspondence
     3x3 weight inverse is a closed-form adjugate. Full 3-vector residual
-    GN (J = [-[c]x | I]) with the same damping/convergence contract as
+    GN (J = [-[c]x | I]) with the same damping contract as
     icp_point_to_plane_batch.
+
+    Convergence: the step-norm thresholds are internally tightened 10x
+    relative to the p2p solver's. The D2D weights scale H by ~1/(2 eps)
+    (~500x) along the constrained (normal) directions, so near the
+    optimum each GN step is intrinsically smaller than a p2p step for
+    the same residual — a step-norm test calibrated for p2p declares
+    convergence ~2 cm early (measured on the curved-patch probe: default
+    thresholds stall at 18-28 mm in 17-30 iterations; 10x-tightened
+    thresholds reach < 0.1 mm in 35-49; this, stacked on the round-2
+    centroid fix, was the remaining 'gicp AUC collapse').
     """
     from perception_tpu.ops.knn import nn1_batch
+
+    rotation_epsilon = rotation_epsilon * 0.1
+    transformation_epsilon = transformation_epsilon * 0.1
 
     n, p, _ = src_xyz.shape
     max_corr_sq = max_correspondence * max_correspondence

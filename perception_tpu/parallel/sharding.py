@@ -45,7 +45,8 @@ def pad_to_multiple(n: int, m: int) -> int:
 def _sharded_call(bank_tri_verts, bank_tri_colors, bank_tri_valid,
                   poses, model_ids, pose_labels, observed_total,
                   proj, scene,
-                  cfg: ScorerConfig, mesh: Mesh) -> PoseScores:
+                  cfg: ScorerConfig, mesh: Mesh,
+                  aux_banks: dict | None = None) -> PoseScores:
     pose_sharded = NamedSharding(mesh, P("pose"))
     replicated = NamedSharding(mesh, P())
 
@@ -55,12 +56,14 @@ def _sharded_call(bank_tri_verts, bank_tri_colors, bank_tri_valid,
     def repl(x):
         return jax.lax.with_sharding_constraint(x, replicated)
 
+    aux = {k: (None if v is None else repl(v))
+           for k, v in (aux_banks or {}).items()}
     scores = score_pose_batch(
         repl(bank_tri_verts), repl(bank_tri_colors), repl(bank_tri_valid),
         shard(poses), shard(model_ids), shard(pose_labels),
         shard(observed_total),
         repl(proj), jax.tree_util.tree_map(repl, scene),
-        cfg)
+        cfg, **aux)
     # Gather the per-pose scalars so the host argmin sees one replicated
     # vector (cheap: N scalars over ICI).
     return PoseScores(*[repl(x) for x in scores])
@@ -72,11 +75,22 @@ def score_pose_batch_multichip(
     poses, model_ids, pose_labels, observed_total,
     proj, scene,
     cfg: ScorerConfig,
+    bank_backface=None,
+    bank_icp_samples=None,
+    bank_icp_normals=None,
+    bank_tri_lab=None,
 ) -> PoseScores:
     """Pose-sharded scoring. Pads the pose axis to a multiple of the mesh
     size (dummy-padding like the reference's MPI chunk padding,
     search_env.cpp:934-947); padded entries come back with cost -1 and are
     sliced off.
+
+    The per-model aux banks (backface-cull flags, explain-only ICP surface
+    samples/normals for cost_cloud="transform", Lab triangle colours for
+    the fused colour cost) replicate across the mesh like the triangle
+    bank; omitting one that the single-device path uses changes the
+    scores, so callers should forward whatever they pass to
+    score_pose_batch.
     """
     n = poses.shape[0]
     n_dev = mesh.devices.size
@@ -88,6 +102,14 @@ def score_pose_batch_multichip(
         widths = [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths)
 
+    aux_banks = {
+        "bank_backface": bank_backface,
+        "bank_icp_samples": bank_icp_samples,
+        "bank_icp_normals": bank_icp_normals,
+        "bank_tri_lab": bank_tri_lab,
+    }
+    aux_banks = {k: (None if v is None else jnp.asarray(v))
+                 for k, v in aux_banks.items()}
     with mesh:
         scores = _sharded_call(
             bank_tri_verts, bank_tri_colors, bank_tri_valid,
@@ -95,5 +117,5 @@ def score_pose_batch_multichip(
             pad(jnp.asarray(pose_labels)), pad(jnp.asarray(observed_total)),
             jnp.asarray(proj),
             jax.tree_util.tree_map(jnp.asarray, scene),
-            cfg, mesh)
+            cfg, mesh, aux_banks)
     return PoseScores(*[x[:n] for x in scores])

@@ -101,11 +101,15 @@ class ScorerConfig:
     icp_stagnation_streak: int = 8  # fused-ICP stagnation early exit
                                     # (iterations without best-rmse
                                     # improvement; see EnvConfig)
-    cost_cloud: str = "render"   # "render" | "transform": post-ICP cost
-                                 # cloud from a re-render (reference
-                                 # semantics) or by rigidly moving the
-                                 # first-pass cloud with the ICP delta
-                                 # (skips a whole raster+cloud pass)
+    icp_gicp_epsilon: float = 0.05  # GICP plane-covariance floor (see
+                                    # EnvConfig.icp_gicp_epsilon)
+    cost_cloud: str = "transform"  # "render" | "transform": post-ICP cost
+                                 # cloud by rigidly moving the first-pass
+                                 # cloud with the ICP delta + explain-only
+                                 # surface-sample augmentation (default;
+                                 # skips a whole raster+cloud pass,
+                                 # paired-AUC-neutral) or from a re-render
+                                 # (reference semantics)
     icp_source: str = "render"    # "render": reference-faithful pre-ICP
                                   # render -> visible cloud; "model": skip
                                   # the pre-ICP render and use precomputed
@@ -366,6 +370,7 @@ def score_pose_batch(
                 max_correspondence=cfg.icp_max_correspondence,
                 rotation_epsilon=cfg.icp_rotation_epsilon,
                 transformation_epsilon=cfg.icp_transformation_epsilon,
+                gicp_epsilon=cfg.icp_gicp_epsilon,
                 ref_tile=cfg.knn_ref_tile,
                 crop_k=cfg.icp_crop_targets,
                 backend=backend)

@@ -281,6 +281,40 @@ def test_gicp_recovers_perturbation(rng):
         assert err < 2e-3, f"batch {b}: residual {err}"
 
 
+def test_gicp_converges_at_default_thresholds(rng):
+    """Regression: at DEFAULT step-norm thresholds the D2D solver must
+    reach the optimum, not stall ~2 cm short. The Mahalanobis weights
+    scale H ~1/(2 eps) along normals, so GN steps near the optimum are
+    much smaller than p2p steps — a p2p-calibrated step-norm test
+    used to fire 15-20 iterations early (the 'gicp AUC collapse');
+    icp_gicp_batch now tightens the thresholds internally."""
+    from perception_tpu.core.pose import euler_xyz_to_matrix
+    from perception_tpu.ops.icp import icp_gicp_batch
+
+    s = 512
+    uv = rng.uniform(-0.08, 0.08, (s, 2))
+    z = 0.6 + 1.2 * (uv[:, 0] ** 2 + 0.6 * uv[:, 1] ** 2)
+    tgt = np.c_[uv, z].astype(np.float32)
+    tn = np.c_[-2.4 * uv[:, 0], -1.44 * uv[:, 1], np.ones(s)]
+    tn = (tn / np.linalg.norm(tn, axis=1, keepdims=True)).astype(np.float32)
+    sel = rng.choice(s, 256, replace=False)
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = euler_xyz_to_matrix(0.1, 0.05, -0.08)
+    T[:3, 3] = [0.01, -0.015, 0.02]
+    src = tgt[sel] @ T[:3, :3].T + T[:3, 3]
+    sn = tn[sel] @ T[:3, :3].T
+
+    res = icp_gicp_batch(
+        jnp.asarray(src[None]), jnp.ones((1, 256), bool),
+        jnp.asarray(sn[None]),
+        jnp.asarray(tgt[None]), jnp.ones((1, s), bool),
+        jnp.asarray(tn[None]), max_iterations=60)
+    residual = np.asarray(res.delta[0]) @ T
+    t_err = np.linalg.norm(residual[:3, 3])
+    assert t_err < 2e-3, f"stalled {t_err * 1e3:.1f} mm from optimum"
+
+
 def test_gicp_underdetermined_identity():
     """< 6 correspondences -> identity delta (guarded solve)."""
     from perception_tpu.ops.icp import icp_gicp_batch

@@ -8,6 +8,17 @@ from perception_tpu.parallel.sharding import make_pose_mesh, score_pose_batch_mu
 from tests.test_pipeline import gt_states, make_env
 
 
+def _aux_banks(env):
+    """The per-model aux banks the single-device env path passes to
+    score_pose_batch; the sharded path must forward the same set or the
+    scores diverge (e.g. cost_cloud="transform" loses its explain-only
+    augmentation points)."""
+    return dict(bank_backface=env._render_bank[3],
+                bank_icp_samples=env._bank_icp_samples,
+                bank_icp_normals=env._bank_icp_normals,
+                bank_tri_lab=env._render_bank_lab)
+
+
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
@@ -44,7 +55,7 @@ def test_sharded_scores_match_single_device():
     scores = score_pose_batch_multichip(
         mesh, env._bank_tri_verts, env._bank_tri_colors, env._bank_tri_valid,
         poses, ids, labels, totals,
-        env._proj, env._scene, cfg)
+        env._proj, env._scene, cfg, **_aux_banks(env))
 
     got = np.asarray(scores.total_cost)
     want = np.asarray([s.cost for s in ref])
@@ -86,7 +97,8 @@ def test_sharded_icp_scores_match_single_device():
     mesh = make_pose_mesh()
     scores = score_pose_batch_multichip(
         mesh, env._bank_tri_verts, env._bank_tri_colors, env._bank_tri_valid,
-        poses, ids, labels, totals, env._proj, env._scene, cfg)
+        poses, ids, labels, totals, env._proj, env._scene, cfg,
+        **_aux_banks(env))
 
     got = np.asarray(scores.total_cost)
     want = np.asarray([s.cost for s in ref])
@@ -110,9 +122,10 @@ def test_sharded_pallas_interpret_matches_single_device():
                               backend="pallas_direct_interpret")
     args = (env._bank_tri_verts, env._bank_tri_colors, env._bank_tri_valid,
             poses, ids, labels, totals, env._proj, env._scene)
-    single = score_pose_batch(*args, cfg)
+    aux = _aux_banks(env)
+    single = score_pose_batch(*args, cfg, **aux)
     mesh = make_pose_mesh()
-    sharded = score_pose_batch_multichip(mesh, *args, cfg)
+    sharded = score_pose_batch_multichip(mesh, *args, cfg, **aux)
     np.testing.assert_array_equal(np.asarray(sharded.total_cost),
                                   np.asarray(single.total_cost))
     assert np.ptp(np.asarray(sharded.total_cost)) > 0

@@ -207,7 +207,11 @@ def test_sharded_scorer_on_device_mesh(tpu_backend):
     mesh = make_pose_mesh()
     scores = score_pose_batch_multichip(
         mesh, env._bank_tri_verts, env._bank_tri_colors, env._bank_tri_valid,
-        poses, ids, labels, totals, env._proj, env._scene, cfg)
+        poses, ids, labels, totals, env._proj, env._scene, cfg,
+        bank_backface=env._render_bank[3],
+        bank_icp_samples=env._bank_icp_samples,
+        bank_icp_normals=env._bank_icp_normals,
+        bank_tri_lab=env._render_bank_lab)
     got = np.asarray(scores.total_cost)
     want = np.asarray([s.cost for s in ref])
     np.testing.assert_array_equal(got, want)
