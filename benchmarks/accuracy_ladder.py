@@ -43,6 +43,9 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "render_lod_128": ([], {"PT_RENDER_LOD": "128"}),
     "render_lod_64": ([], {"PT_RENDER_LOD": "64"}),
     "cost_cloud_transform": ([], {"PT_COST_CLOUD": "transform"}),
+    # transform is the shipped default since round 3; this rung A/Bs the
+    # reference-semantics re-render cost cloud against it.
+    "cost_cloud_render": ([], {"PT_COST_CLOUD": "render"}),
     "combo_lod128_transform": ([], {"PT_RENDER_LOD": "128",
                                     "PT_COST_CLOUD": "transform"}),
     "model_src_crop128": ([], {"PT_ICP_SOURCE": "model",

@@ -65,6 +65,10 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
         overrides["icp_source"] = _os.environ["PT_ICP_SOURCE"]
     if _os.environ.get("PT_COST_CLOUD"):
         overrides["cost_cloud"] = _os.environ["PT_COST_CLOUD"]
+    if _os.environ.get("PT_ICP_MODE"):
+        overrides["icp_mode"] = _os.environ["PT_ICP_MODE"]
+    if _os.environ.get("PT_GICP_EPSILON"):
+        overrides["icp_gicp_epsilon"] = float(_os.environ["PT_GICP_EPSILON"])
     env_cfg = EnvConfig(width=width, height=height,
                         max_points_per_pose=1024, max_observed_points=8192,
                         max_points_per_label=1024, max_labels=4,

@@ -113,3 +113,45 @@ def test_fat_coco_export(fat_root, tmp_path):
     assert ann["area"] == 600
     # RLE counts must sum to the image size.
     assert sum(ann["segmentation"]["counts"]) == 96 * 128
+
+
+def test_shapestacks_converter_round_trip(tmp_path):
+    """Synthesized ShapeStacks layout -> COCO -> masks.py ingestion."""
+    import cv2
+
+    from perception_tpu.eval.shapestacks import (
+        block_count, convert_shapestacks_coco, seg_file_for)
+    from perception_tpu.io.masks import load_coco_detections
+
+    assert block_count("ccs-easy-h=3-vcom=0-vpsf=0-n=2") == 2
+    assert seg_file_for("rgb-env_ccs-n=2-cam_2-r=1-mono-0.png", 1) == (
+        "vseg-env_ccs-n=2-cam_2-seg-1.png")
+
+    scen = "env_ccs-easy-h=2-vcom=0-vpsf=0-n=2"
+    sdir = tmp_path / "rec" / scen
+    sdir.mkdir(parents=True)
+    h, w = 48, 64
+    rgb = np.zeros((h, w, 3), np.uint8)
+    cv2.imwrite(str(sdir / f"rgb-{scen}-cam_2-r=1-mono-0.png"), rgb)
+    m0 = np.zeros((h, w), np.uint8)
+    m0[10:20, 12:30] = 255
+    m1 = np.zeros((h, w), np.uint8)
+    m1[25:40, 5:15] = 255
+    cv2.imwrite(str(sdir / f"vseg-{scen}-cam_2-seg-0.png"), m0)
+    cv2.imwrite(str(sdir / f"vseg-{scen}-cam_2-seg-1.png"), m1)
+    # A mirrored scenario and an excluded camera must be skipped.
+    (tmp_path / "rec" / (scen + "_r")).mkdir()
+    cv2.imwrite(str(sdir / f"rgb-{scen}-cam_1-r=1-mono-0.png"), rgb)
+
+    out_path = str(tmp_path / "ss_coco.json")
+    coco = convert_shapestacks_coco(
+        str(tmp_path / "rec"), [scen, scen + "_r"], out_path)
+    assert len(coco["images"]) == 1
+    assert len(coco["annotations"]) == 2
+    assert coco["annotations"][0]["bbox"] == [12, 10, 18, 10]
+    assert coco["annotations"][0]["area"] == 180
+
+    det = load_coco_detections(out_path, image_id=1)
+    assert len(det.masks) == 2
+    np.testing.assert_array_equal(det.masks[0], m0 > 0)
+    np.testing.assert_array_equal(det.masks[1], m1 > 0)
