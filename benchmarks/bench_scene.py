@@ -58,7 +58,8 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
                      ("PT_ICP_CROP_TARGETS", "icp_crop_targets"),
                      ("PT_COST_CROP_TARGETS", "cost_crop_targets"),
                      ("PT_ICP_NN_EVERY", "icp_nn_every"),
-                     ("PT_RENDER_LOD", "render_lod")):
+                     ("PT_RENDER_LOD", "render_lod"),
+                     ("PT_COST_AUG_SAMPLES", "cost_aug_samples")):
         if _os.environ.get(var):
             overrides[key] = int(_os.environ[var])
     if _os.environ.get("PT_ICP_SOURCE"):

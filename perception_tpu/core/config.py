@@ -247,6 +247,11 @@ class EnvConfig:
     icp_mode: str = "auto"                    # "auto" (fused on TPU, nn on
                                               # CPU) | "nn" | "fused" |
                                               # "projective" | "gicp"
+    cost_aug_samples: int = 0                 # cost_cloud="transform": cap
+                                              # on the explain-only samples
+                                              # appended per pose (0 = full
+                                              # bank; strided subsample
+                                              # otherwise — scorer.py)
     icp_gicp_epsilon: float = 0.05            # GICP plane-covariance floor
                                               # (fast_gicp uses 1e-3 with
                                               # k=20 covariances; with this

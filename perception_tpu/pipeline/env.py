@@ -462,6 +462,7 @@ class PerceptionEnv:
             cost_crop_targets=env.cost_crop_targets,
             icp_source=env.icp_source,
             cost_cloud=env.cost_cloud,
+            cost_aug_samples=env.cost_aug_samples,
             icp_gicp_epsilon=env.icp_gicp_epsilon,
             icp_nn_every=env.icp_nn_every,
             icp_stagnation_streak=_resolve_streak_env(

@@ -103,6 +103,11 @@ class ScorerConfig:
                                     # improvement; see EnvConfig)
     icp_gicp_epsilon: float = 0.05  # GICP plane-covariance floor (see
                                     # EnvConfig.icp_gicp_epsilon)
+    cost_aug_samples: int = 0       # cost_cloud="transform": cap on the
+                                    # explain-only surface samples appended
+                                    # per pose (0 = the full per-model
+                                    # sample bank; smaller trims the cost
+                                    # kernel's point axis)
     cost_cloud: str = "transform"  # "render" | "transform": post-ICP cost
                                  # cloud by rigidly moving the first-pass
                                  # cloud with the ICP delta + explain-only
@@ -234,7 +239,10 @@ def score_pose_batch(
     if cfg.cost_cloud == "transform" and bank_icp_samples is not None:
         # transform mode appends K explain-only surface samples to the
         # cost cloud (coverage-hole augmentation below).
-        p_cap += bank_icp_samples.shape[1]
+        aug_k = bank_icp_samples.shape[1]
+        if cfg.cost_aug_samples:
+            aug_k = min(aug_k, cfg.cost_aug_samples)
+        p_cap += aug_k
     resolved_backend = (cfg.backend if cfg.backend != "auto"
                         else default_backend())
     fused_cost = (resolved_backend.startswith("pallas")
@@ -434,6 +442,14 @@ def score_pose_batch(
                 # raster pass and no per-pose dynamic shapes.
                 samp = bank_icp_samples[model_ids]          # [N, K, 3]
                 snrm = bank_icp_normals[model_ids]
+                if cfg.cost_aug_samples and cfg.cost_aug_samples < samp.shape[1]:
+                    # The bank samples are stratified along cumulative
+                    # surface area (mesh.py surface_samples), so a strided
+                    # slice stays uniform over the surface — a prefix
+                    # would cover only the first morton-order triangles.
+                    step = -(-samp.shape[1] // cfg.cost_aug_samples)
+                    samp = samp[:, ::step]
+                    snrm = snrm[:, ::step]
                 rot = adjusted[:, :3, :3]
                 aug_xyz = (jnp.einsum("nij,nkj->nki", rot, samp)
                            + adjusted[:, None, :3, 3])

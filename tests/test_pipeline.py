@@ -236,3 +236,34 @@ def test_cost_crop_accounting_consistent():
     assert su.cost >= 0
     assert su.source_cost < 25.0, su.source_cost
     assert abs(su.target_cost - su.source_cost) < 30
+
+
+def test_cost_aug_samples_cap_close_to_full_bank():
+    """cost_cloud="transform" with a capped (strided) explain-only
+    augmentation must score near the full-bank augmentation: the strided
+    subsample stays uniform over the surface, so coverage-hole filling
+    degrades smoothly, not cliff-wise."""
+    import dataclasses
+
+    env = make_env()
+    env.set_observation_from_states(gt_states())
+    gt = gt_states()
+    off = ContPose.from_quat(gt[0].pose.x + 0.015, gt[0].pose.y - 0.012,
+                             gt[0].pose.z + 0.008, 0, 0, 0, 1)
+    cand = ObjectState(id=0, symmetric=False, pose=off,
+                       segmentation_label_id=1)
+
+    full = env.score_object_states([cand], do_icp=True)[0]
+
+    base = make_env()
+    from perception_tpu.core.config import EnvConfig
+    env_cfg = EnvConfig(
+        width=CAM.width, height=CAM.height,
+        max_points_per_pose=512, max_observed_points=4096,
+        max_points_per_label=1024, max_labels=4, icp_downsample=2,
+        cost_aug_samples=64)
+    capped = PerceptionEnv(base.bank, CAM, base.perch, env_cfg)
+    capped.set_observation_from_states(gt_states())
+    got = capped.score_object_states([cand], do_icp=True)[0]
+    assert abs(got.cost - full.cost) <= max(10, 0.2 * full.cost), (
+        got.cost, full.cost)
