@@ -37,6 +37,10 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "gicp": ([], {"PT_ICP_MODE": "gicp"}),
     "gicp_eps1e3": ([], {"PT_ICP_MODE": "gicp",
                          "PT_GICP_EPSILON": "0.001"}),
+    "aug128": ([], {"PT_COST_AUG_SAMPLES": "128"}),
+    # GICP D2D weighting inside the fused pallas kernel (pallas_icp.py):
+    # the accuracy of icp_mode=gicp at the speed of the fused path.
+    "fused_d2d": ([], {"PT_ICP_MODE": "fused_d2d"}),
     "icp_nn": ([], {"PT_ICP_MODE": "nn"}),
     "cost_crop_256": ([], {"PT_COST_CROP_TARGETS": "256"}),
     "render_lod_256": ([], {"PT_RENDER_LOD": "256"}),
@@ -74,7 +78,15 @@ def main() -> None:
             noise = a.split("=", 1)[1]
 
     results = {}
+    first = True
     for name in rungs:
+        if not first:
+            # The axon tunnel hangs a fresh process on device acquisition
+            # when it starts right as the previous one releases the chip
+            # (observed on most back-to-back rungs in round 3; each hang
+            # costs a full 900 s timeout). A short cooldown avoids most.
+            time.sleep(20)
+        first = False
         argv, env_extra = RUNGS[name]
         env = dict(os.environ, **env_extra)
         cmd = [sys.executable, BENCH, scenes, *argv]

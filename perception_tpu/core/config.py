@@ -246,6 +246,8 @@ class EnvConfig:
     fine_top_k: int = 8                       # candidates per model to refine
     icp_mode: str = "auto"                    # "auto" (fused on TPU, nn on
                                               # CPU) | "nn" | "fused" |
+                                              # "fused_d2d" (GICP weighting
+                                              # in the fused kernel) |
                                               # "projective" | "gicp"
     cost_aug_samples: int = 0                 # cost_cloud="transform": cap
                                               # on the explain-only samples

@@ -61,10 +61,24 @@ _GROUP = 4
 def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
                 g, p, s, max_iterations, max_corr_sq, damping, nn_every=1,
                 rot_eps_sq=4e-6, trn_eps_sq=2.5e-7,
-                stagnation_streak=8.0):
+                stagnation_streak=8.0, d2d_epsilon=0.0):
     """src [G,3,P]; sadd [G,1,P]; tgt [G,S,8] packed
     (x, y, z, nx, ny, nz, n.t, validity-additive);
-    out [G,8,128] (pose gi's delta in out[gi, 0:4, 0:4])."""
+    out [G,8,128] (pose gi's delta in out[gi, 0:4, 0:4]).
+
+    d2d_epsilon > 0 switches the cost from point-to-plane to the GICP
+    distribution weighting with a plane-regularised TARGET covariance
+    C_t = I - (1 - eps) n n^T (fast_gicp's D2D with the source treated
+    isotropic, renderer.cu:1693-1720): W = C_t^-1 decomposes exactly into
+    plane weight 1/eps + tangential weight 1, i.e. cost ~ (n.r)^2 +
+    eps_w |r|^2 with eps_w = eps / (1 - eps) after normalising the plane
+    weight to 1. The point-to-point half has closed-form normal
+    equations (H += J_a^T J_a over the three axes, g += (c x r, r)), so
+    the only extra per-point machinery is recovering the matched target
+    q through three more attribute rows in the one-hot MXU recovery.
+    The measured accuracy story (why this exists, thresholds, the
+    covariance floor) lives in ops/icp.py icp_gicp_batch and
+    ARCHITECTURE.md's GICP section."""
     sx = src_ref[:, 0, :]                          # [G, P]
     sy = src_ref[:, 1, :]
     sz = src_ref[:, 2, :]
@@ -81,8 +95,17 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
     # the recovery EXACT to ~2^-16: the one-hot operand is exactly 0/1, so
     # every output is a single product (no accumulation), and each
     # attribute is split into bf16 hi + lo parts recombined after the dot.
+    d2d = d2d_epsilon > 0.0
+    # Tangential (point-to-point) weight after normalising the plane
+    # weight to 1 (see the docstring): eps / (1 - eps).
+    wpp = d2d_epsilon / (1.0 - d2d_epsilon) if d2d else 0.0
+    # Attribute columns recovered from the one-hot argmin: the plane
+    # (nx, ny, nz, n.t) always; the matched point (x, y, z) too in d2d
+    # mode (the 3-vector residual needs q).
+    attr_cols = (3, 4, 5, 6, 0, 1, 2) if d2d else (3, 4, 5, 6)
+    n_attr = len(attr_cols)
     tassoc = []    # per member: (t2x, t2y, t2z, ttadd) [S, 1] columns
-    attrs = []     # per member: [8, S] bf16 rows (hi nx ny nz nq, lo ...)
+    attrs = []     # per member: [2 * n_attr, S] bf16 rows (hi..., lo...)
     for gi in range(g):
         tx = tgt_ref[gi, :, 0:1]
         ty = tgt_ref[gi, :, 1:2]
@@ -91,13 +114,13 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
         ttadd = tx * tx + ty * ty + tz * tz + tadd
         tassoc.append((-2.0 * tx, -2.0 * ty, -2.0 * tz, ttadd))
         rows_hi, rows_lo = [], []
-        for col in (3, 4, 5, 6):   # nx, ny, nz, n.t
+        for col in attr_cols:
             a = tgt_ref[gi, :, col:col + 1].T          # [1, S]
             hi = a.astype(jnp.bfloat16)
             lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             rows_hi.append(hi)
             rows_lo.append(lo)
-        attrs.append(jnp.concatenate(rows_hi + rows_lo, axis=0))  # [8, S]
+        attrs.append(jnp.concatenate(rows_hi + rows_lo, axis=0))
 
     def body(carry):
         # carry: iter k (scalar), current/best transforms (12 x [G,1]),
@@ -112,7 +135,7 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
         def associate(_):
             # Per-pose NN: target sets differ per pose, so the [S, P]
             # distance tile and the plane recovery run per group member.
-            rows_nx, rows_ny, rows_nz, rows_nq, rows_dmin = [], [], [], [], []
+            rows = [[] for _ in range(n_attr + 1)]   # attrs..., dmin
             for gi in range(g):
                 t2x, t2y, t2z, ttadd = tassoc[gi]      # [S, 1]
                 cgx = cx[gi:gi + 1, :]                 # [1, P]
@@ -137,21 +160,18 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
                 dmin = jax.lax.bitcast_convert_type(
                     pmin & ~jnp.int32(idx_mask), jnp.float32)
 
-                # [8, S] @ [S, P] on the MXU (see the precompute comment).
+                # [2*n_attr, S] @ [S, P] on the MXU (see the precompute
+                # comment); hi + lo parts recombine to the exact f32.
                 planes = jax.lax.dot_general(
                     attrs[gi], onehot, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # [8, P]
-                rows_nx.append(planes[0:1] + planes[4:5])
-                rows_ny.append(planes[1:2] + planes[5:6])
-                rows_nz.append(planes[2:3] + planes[6:7])
-                rows_nq.append(planes[3:4] + planes[7:8])
-                rows_dmin.append(dmin)
+                    preferred_element_type=jnp.float32)  # [2*n_attr, P]
+                for ai in range(n_attr):
+                    rows[ai].append(planes[ai:ai + 1]
+                                    + planes[n_attr + ai:n_attr + ai + 1])
+                rows[n_attr].append(dmin)
 
-            return (jnp.concatenate(rows_nx, axis=0),   # [G, P] each
-                    jnp.concatenate(rows_ny, axis=0),
-                    jnp.concatenate(rows_nz, axis=0),
-                    jnp.concatenate(rows_nq, axis=0),
-                    jnp.concatenate(rows_dmin, axis=0))
+            return tuple(jnp.concatenate(r, axis=0)      # [G, P] each
+                         for r in rows)
 
         if nn_every > 1:
             # Re-associate every nn_every-th iteration; in between, take a
@@ -163,15 +183,32 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
                                  lambda _: assoc, 0)
         else:
             assoc = associate(0)
-        nx, ny, nz, nq, dmin_all = assoc
+        nx, ny, nz, nq = assoc[0], assoc[1], assoc[2], assoc[3]
+        dmin_all = assoc[n_attr]
 
         w = ((dmin_all + sadd) <= max_corr_sq).astype(jnp.float32)  # [G, P]
 
         e = nx * cx + ny * cy + nz * cz - nq
-        # Point-to-plane jacobian: (cur x n, n).
-        j0 = cy * nz - cz * ny
-        j1 = cz * nx - cx * nz
-        j2 = cx * ny - cy * nx
+        count = w.sum(axis=1, keepdims=True)
+        if d2d:
+            # Rotate about the per-pose correspondence centroid, not the
+            # camera origin: at ~0.6 m range the origin lever arm couples
+            # rotation and translation with a (range/extent)^2
+            # conditioning penalty that stacks with the D2D anisotropy
+            # (same fix as icp_gicp_batch; measured on the curved-patch
+            # probe: the origin-centred solve stalls at 41 mm on a
+            # 0.25 rad perturbation the centred solve recovers exactly).
+            inv_cnt = 1.0 / jnp.maximum(count, 1.0)
+            cenx = (cx * w).sum(axis=1, keepdims=True) * inv_cnt  # [G, 1]
+            ceny = (cy * w).sum(axis=1, keepdims=True) * inv_cnt
+            cenz = (cz * w).sum(axis=1, keepdims=True) * inv_cnt
+            ax, ay, az = cx - cenx, cy - ceny, cz - cenz
+        else:
+            ax, ay, az = cx, cy, cz
+        # Point-to-plane jacobian: ((c - cen) x n, n).
+        j0 = ay * nz - az * ny
+        j1 = az * nx - ax * nz
+        j2 = ax * ny - ay * nx
         js = (j0, j1, j2, nx, ny, nz)
 
         h = [[None] * 6 for _ in range(6)]
@@ -180,13 +217,48 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
             for jj in range(i, 6):
                 h[i][jj] = (js[i] * js[jj] * w).sum(axis=1, keepdims=True)
             gv[i] = -(js[i] * e * w).sum(axis=1, keepdims=True)   # [G, 1]
-        count = w.sum(axis=1, keepdims=True)
+        res2 = e * e                      # weighted residual for best-rmse
+        if d2d:
+            # Tangential half of the D2D cost (closed-form point-to-point
+            # normal equations; docstring). r = c - q; note n.r == e.
+            qx, qy, qz = assoc[4], assoc[5], assoc[6]
+            rx, ry, rz = cx - qx, cy - qy, cz - qz
+            cxs = (ax * ax * w).sum(axis=1, keepdims=True)
+            cys = (ay * ay * w).sum(axis=1, keepdims=True)
+            czs = (az * az * w).sum(axis=1, keepdims=True)
+            cxy = (ax * ay * w).sum(axis=1, keepdims=True)
+            cxz = (ax * az * w).sum(axis=1, keepdims=True)
+            cyz = (ay * az * w).sum(axis=1, keepdims=True)
+            sx_ = (ax * w).sum(axis=1, keepdims=True)
+            sy_ = (ay * w).sum(axis=1, keepdims=True)
+            sz_ = (az * w).sum(axis=1, keepdims=True)
+            h[0][0] += wpp * (cys + czs)
+            h[0][1] += wpp * (-cxy)
+            h[0][2] += wpp * (-cxz)
+            h[0][4] += wpp * (-sz_)
+            h[0][5] += wpp * sy_
+            h[1][1] += wpp * (cxs + czs)
+            h[1][2] += wpp * (-cyz)
+            h[1][3] += wpp * sz_
+            h[1][5] += wpp * (-sx_)
+            h[2][2] += wpp * (cxs + cys)
+            h[2][3] += wpp * (-sy_)
+            h[2][4] += wpp * sx_
+            h[3][3] += wpp * count
+            h[4][4] += wpp * count
+            h[5][5] += wpp * count
+            cr0 = ay * rz - az * ry
+            cr1 = az * rx - ax * rz
+            cr2 = ax * ry - ay * rx
+            for i, t in enumerate((cr0, cr1, cr2, rx, ry, rz)):
+                gv[i] += -wpp * (t * w).sum(axis=1, keepdims=True)
+            res2 = res2 + wpp * (rx * rx + ry * ry + rz * rz)
         ok = count >= 6.0                                          # [G, 1]
         active = done < 0.5
-        # RMSE of the plane residual at the CURRENT transform: used to track
-        # the best-so-far pose (GN on quantised depth oscillates; the last
-        # iterate is not the best one).
-        rmse = jnp.sqrt((e * e * w).sum(axis=1, keepdims=True)
+        # RMSE of the (weighted) residual at the CURRENT transform: used to
+        # track the best-so-far pose (GN on quantised depth oscillates; the
+        # last iterate is not the best one).
+        rmse = jnp.sqrt((res2 * w).sum(axis=1, keepdims=True)
                         / jnp.maximum(count, 1.0))
         improved = ok & (rmse < best_rmse) & active
         new_best_rmse = jnp.where(improved, rmse, best_rmse)
@@ -266,6 +338,12 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
         nt0 = e00 * t0 + e01 * t1 + e02 * t2 + xi[3]
         nt1 = e10 * t0 + e11 * t1 + e12 * t2 + xi[4]
         nt2 = e20 * t0 + e21 * t1 + e22 * t2 + xi[5]
+        if d2d:
+            # Recompose the centred update as a camera-frame transform:
+            # x' = E (x - cen) + cen + u  =>  u_cam = u + cen - E cen.
+            nt0 = nt0 + cenx - (e00 * cenx + e01 * ceny + e02 * cenz)
+            nt1 = nt1 + ceny - (e10 * cenx + e11 * ceny + e12 * cenz)
+            nt2 = nt2 + cenz - (e20 * cenx + e21 * ceny + e22 * cenz)
         raw_cur = (nr00, nr01, nr02, nr10, nr11, nr12, nr20, nr21, nr22,
                    nt0, nt1, nt2)
         # Freeze converged poses: their transform stops evolving, so the
@@ -295,7 +373,7 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
     ident = (ones, zeros, zeros, zeros, ones, zeros, zeros, zeros, ones,
              zeros, zeros, zeros)
     init = (jnp.int32(0), ident, ident, jnp.full((g, 1), np.inf, jnp.float32),
-            zeros, zeros, (zgp, zgp, zgp, zgp, zgp))
+            zeros, zeros, tuple(zgp for _ in range(n_attr + 1)))
     final_carry = jax.lax.while_loop(
         lambda c: c[0] < max_iterations, body, init)
     final = final_carry[2]
@@ -329,7 +407,7 @@ def pack_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
 @functools.partial(jax.jit, static_argnames=(
     "max_iterations", "max_correspondence", "damping", "nn_every",
     "rotation_epsilon", "transformation_epsilon", "stagnation_streak",
-    "interpret"))
+    "d2d_epsilon", "interpret"))
 def icp_fused_pallas(
     src_xyz: jax.Array,      # [N, P, 3]
     src_valid: jax.Array,    # [N, P]
@@ -343,9 +421,18 @@ def icp_fused_pallas(
     rotation_epsilon: float = 2e-3,
     transformation_epsilon: float = 5e-4,
     stagnation_streak: float = 8.0,
+    d2d_epsilon: float = 0.0,
     interpret: bool = False,
 ) -> jax.Array:
-    """Camera-frame corrections [N, 4, 4] (pose' = delta @ pose)."""
+    """Camera-frame corrections [N, 4, 4] (pose' = delta @ pose).
+
+    d2d_epsilon > 0 enables the GICP distribution weighting (see
+    _icp_kernel); the step-norm convergence thresholds are then
+    tightened 10x for the same reason icp_gicp_batch tightens them —
+    the D2D weights shrink near-optimum GN steps."""
+    if d2d_epsilon:
+        rotation_epsilon = rotation_epsilon * 0.1
+        transformation_epsilon = transformation_epsilon * 0.1
     n, p, _ = src_xyz.shape
     s = tgt_packed.shape[1]
     # Pad P to lanes, S to sublanes, N to the pose group size.
@@ -383,7 +470,8 @@ def icp_fused_pallas(
         nn_every=nn_every,
         rot_eps_sq=rotation_epsilon * rotation_epsilon,
         trn_eps_sq=transformation_epsilon * transformation_epsilon,
-        stagnation_streak=float(stagnation_streak))
+        stagnation_streak=float(stagnation_streak),
+        d2d_epsilon=float(d2d_epsilon))
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // _GROUP,),

@@ -275,7 +275,7 @@ def score_pose_batch(
 
     model_source = (cfg.do_icp and cfg.icp_source == "model"
                     and bank_icp_samples is not None
-                    and cfg.icp_mode in ("fused", "nn", "gicp"))
+                    and cfg.icp_mode in ("fused", "fused_d2d", "nn", "gicp"))
     coarse = (cfg.do_icp and cfg.icp_render_scale > 1
               and cfg.roi_shape is not None and not model_source)
     if model_source:
@@ -333,7 +333,7 @@ def score_pose_batch(
             ds = 1 if coarse else cfg.icp_downsample
             src_xyz = cloud.xyz[:, ::ds]
             src_valid = cloud.valid[:, ::ds]
-        if cfg.icp_mode == "fused":
+        if cfg.icp_mode in ("fused", "fused_d2d"):
             from perception_tpu.ops.icp import crop_targets
             from perception_tpu.ops.pallas_icp import icp_fused_pallas, pack_targets
 
@@ -358,6 +358,8 @@ def score_pose_batch(
                 rotation_epsilon=cfg.icp_rotation_epsilon,
                 transformation_epsilon=cfg.icp_transformation_epsilon,
                 stagnation_streak=cfg.icp_stagnation_streak,
+                d2d_epsilon=(cfg.icp_gicp_epsilon
+                             if cfg.icp_mode == "fused_d2d" else 0.0),
                 interpret=resolved_backend.endswith("interpret"))
         elif cfg.icp_mode == "gicp":
             from perception_tpu.ops.icp import cloud_normals, icp_gicp_batch

@@ -490,3 +490,47 @@ def test_fused_color_tri_kernel_matches_lab_kernel(rng):
         interpret=True)
     for a, b in zip(out_tri, out_lab):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_fused_icp_d2d_interpret_recovers_full_offset(rng):
+    """d2d_epsilon > 0 (GICP weighting in the fused kernel): the
+    point-to-point half constrains the tangential directions a planar
+    point-to-plane cost leaves free, so the FULL rigid shift is
+    recovered (not just its normal component), and the centred rotation
+    handles a large initial rotation the origin-centred p2p solve
+    cannot (pallas_icp.py _icp_kernel docstring)."""
+    from perception_tpu.core.pose import euler_xyz_to_matrix
+    from perception_tpu.ops.pallas_icp import icp_fused_pallas, pack_targets
+
+    n, p, s = 2, 128, 256
+    # Curved surface (quadratic bowl) with analytic normals: tangential
+    # error is observable, unlike a plane.
+    uv = rng.uniform(-0.08, 0.08, (s, 2)).astype(np.float32)
+    z = 0.6 + 1.2 * (uv[:, 0] ** 2 + 0.6 * uv[:, 1] ** 2)
+    tgt1 = np.c_[uv, z].astype(np.float32)
+    nrm1 = np.c_[-2.4 * uv[:, 0], -1.44 * uv[:, 1], np.ones(s)]
+    nrm1 = (nrm1 / np.linalg.norm(nrm1, axis=1, keepdims=True)).astype(
+        np.float32)
+    sel = rng.choice(s, p, replace=False)
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = euler_xyz_to_matrix(0.25, -0.2, 0.15)
+    T[:3, 3] = [0.03, 0.02, -0.02]
+    src1 = (tgt1[sel] @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+
+    tgt = np.tile(tgt1[None], (n, 1, 1))
+    nrm = np.tile(nrm1[None], (n, 1, 1))
+    src = np.tile(src1[None], (n, 1, 1))
+    ones_t = np.ones((n, s), bool)
+    ones_s = np.ones((n, p), bool)
+
+    delta = np.asarray(icp_fused_pallas(
+        jnp.asarray(src), jnp.asarray(ones_s),
+        pack_targets(jnp.asarray(tgt), jnp.asarray(ones_t),
+                     jnp.asarray(nrm)),
+        max_iterations=60, max_correspondence=0.05,
+        d2d_epsilon=0.05, interpret=True))
+    for i in range(n):
+        resid = delta[i] @ T
+        t_err = np.linalg.norm(resid[:3, 3])
+        assert t_err < 1e-3, (i, t_err)
