@@ -162,3 +162,48 @@ def test_model_cache_roundtrip(tmp_path):
                       target_triangles=8, symmetric=True)
     files = [p for p in __import__("os").listdir(cache) if p.endswith(".npz")]
     assert len(files) == 2
+
+
+def test_dope_baseline_ingestion_and_eval(tmp_path):
+    """DOPE annotation dumps (cm locations, xyzw quaternions,
+    dope_image.py contract) -> shared AUC protocol."""
+    import json
+
+    from perception_tpu.eval.dope import (
+        evaluate_dope_results, load_dope_annotations, quat_xyzw_to_matrix)
+
+    # 90-degree yaw about z as xyzw.
+    q = [0.0, 0.0, np.sin(np.pi / 4), np.cos(np.pi / 4)]
+    r = quat_xyzw_to_matrix(q)
+    np.testing.assert_allclose(r @ [1, 0, 0], [0, 1, 0], atol=1e-12)
+
+    pts = np.array([[0.05, 0, 0], [0, 0.05, 0], [0, 0, 0.05],
+                    [-0.05, 0, 0]])
+    gt_pose = {"category_id": 1, "r": np.eye(3),
+               "t": np.array([0.0, 0.0, 0.6])}
+
+    # Image A: exact detection (locations in CM) + a decoy category.
+    json.dump([
+        {"location": [0.0, 0.0, 60.0],
+         "quaternion_xyzw": [0, 0, 0, 1], "category_id": 1, "id": 0},
+        {"location": [100.0, 0.0, 60.0],
+         "quaternion_xyzw": [0, 0, 0, 1], "category_id": 2, "id": 1},
+    ], open(tmp_path / "frame_a.json", "w"))
+    # Image B: detection 3 cm off.
+    json.dump([
+        {"location": [3.0, 0.0, 60.0],
+         "quaternion_xyzw": [0, 0, 0, 1], "category_id": 1, "id": 0},
+    ], open(tmp_path / "frame_b.json", "w"))
+    # Image C: no dump on disk -> missing detection counts as failure.
+
+    anns = load_dope_annotations(str(tmp_path / "frame_a.json"))
+    assert len(anns) == 2
+    np.testing.assert_allclose(anns[0]["t"], [0, 0, 0.6])
+
+    gt = {"frame_a": [gt_pose], "frame_b": [gt_pose], "frame_c": [gt_pose]}
+    out = evaluate_dope_results(str(tmp_path), gt, {1: pts})
+    assert out["total"] == 3
+    assert out["detected"] == 2
+    assert out["errors"][0] < 1e-9
+    assert abs(out["errors"][1] - 0.03) < 1e-9
+    assert out["errors"][2] == np.inf
