@@ -70,10 +70,11 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
         overrides["icp_mode"] = _os.environ["PT_ICP_MODE"]
     if _os.environ.get("PT_GICP_EPSILON"):
         overrides["icp_gicp_epsilon"] = float(_os.environ["PT_GICP_EPSILON"])
+    overrides.setdefault("icp_mode", "auto")
     env_cfg = EnvConfig(width=width, height=height,
                         max_points_per_pose=1024, max_observed_points=8192,
                         max_points_per_label=1024, max_labels=4,
-                        roi_size=32, icp_mode="auto",
+                        roi_size=32,
                         kernel_backend="auto", **overrides)
     env = PerceptionEnv(bank, cam, perch, env_cfg)
 
