@@ -41,6 +41,8 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     # GICP D2D weighting inside the fused pallas kernel (pallas_icp.py):
     # the accuracy of icp_mode=gicp at the speed of the fused path.
     "fused_d2d": ([], {"PT_ICP_MODE": "fused_d2d"}),
+    "fused_d2d_nn1": ([], {"PT_ICP_MODE": "fused_d2d",
+                           "PT_ICP_NN_EVERY": "1"}),
     "icp_nn": ([], {"PT_ICP_MODE": "nn"}),
     "cost_crop_256": ([], {"PT_COST_CROP_TARGETS": "256"}),
     "render_lod_256": ([], {"PT_RENDER_LOD": "256"}),

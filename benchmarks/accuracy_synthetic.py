@@ -122,6 +122,8 @@ def build_env(model_set: str = "zoo"):
             ("PT_COST_CLOUD", "cost_cloud", str),
             ("PT_ICP_STREAK", "icp_stagnation_streak", int),
             ("PT_GICP_EPSILON", "icp_gicp_epsilon", float),
+            ("PT_D2D_SYM", "icp_d2d_symmetric", lambda v: v not in
+             ("0", "false", "")),
             ("PT_COST_AUG_SAMPLES", "cost_aug_samples", int),
             ("PT_REFINE_ROUNDS", "pose_refinement_rounds", int)):
         if os.environ.get(var):

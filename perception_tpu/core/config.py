@@ -254,6 +254,9 @@ class EnvConfig:
                                               # appended per pose (0 = full
                                               # bank; strided subsample
                                               # otherwise — scorer.py)
+    icp_d2d_symmetric: bool = True            # fused_d2d: include the
+                                              # source-covariance plane
+                                              # term (pallas_icp sym mode)
     icp_gicp_epsilon: float = 0.05            # GICP plane-covariance floor
                                               # (fast_gicp uses 1e-3 with
                                               # k=20 covariances; with this

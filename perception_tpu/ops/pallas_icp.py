@@ -61,8 +61,9 @@ _GROUP = 4
 def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
                 g, p, s, max_iterations, max_corr_sq, damping, nn_every=1,
                 rot_eps_sq=4e-6, trn_eps_sq=2.5e-7,
-                stagnation_streak=8.0, d2d_epsilon=0.0):
-    """src [G,3,P]; sadd [G,1,P]; tgt [G,S,8] packed
+                stagnation_streak=8.0, d2d_epsilon=0.0, sym=False):
+    """src [G,3,P] (or [G,6,P] with per-point source normals when sym);
+    sadd [G,1,P]; tgt [G,S,8] packed
     (x, y, z, nx, ny, nz, n.t, validity-additive);
     out [G,8,128] (pose gi's delta in out[gi, 0:4, 0:4]).
 
@@ -76,12 +77,25 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
     equations (H += J_a^T J_a over the three axes, g += (c x r, r)), so
     the only extra per-point machinery is recovering the matched target
     q through three more attribute rows in the one-hot MXU recovery.
+
+    sym=True adds the SOURCE covariance's plane term (full GICP uses
+    C_t + R C_s R^T; with both plane-regularised and the cross terms
+    dropped the cost gains a second plane residual (R n_s).r with the
+    source normal rotated by the current estimate, and the tangential
+    weight doubles to keep the normal/tangential ratio at 1/eps —
+    symmetric point-to-plane with a point-to-point floor). The source
+    normals ride three extra src rows and rotate with R each iteration;
+    their sign never matters (quadratic).
     The measured accuracy story (why this exists, thresholds, the
     covariance floor) lives in ops/icp.py icp_gicp_batch and
     ARCHITECTURE.md's GICP section."""
     sx = src_ref[:, 0, :]                          # [G, P]
     sy = src_ref[:, 1, :]
     sz = src_ref[:, 2, :]
+    if sym:
+        snx = src_ref[:, 3, :]                     # [G, P] source normals
+        sny = src_ref[:, 4, :]
+        snz = src_ref[:, 5, :]
     sadd = sadd_ref[:, 0, :]                       # [G, P]
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
     idx_mask = (1 << max(1, (s - 1)).bit_length()) - 1   # low bits for index
@@ -96,9 +110,14 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
     # every output is a single product (no accumulation), and each
     # attribute is split into bf16 hi + lo parts recombined after the dot.
     d2d = d2d_epsilon > 0.0
+    sym = bool(sym) and d2d
     # Tangential (point-to-point) weight after normalising the plane
-    # weight to 1 (see the docstring): eps / (1 - eps).
+    # weight to 1 (see the docstring): eps / (1 - eps); doubled in
+    # symmetric mode so the normal/tangential ratio stays 1/eps with two
+    # unit-weight plane terms.
     wpp = d2d_epsilon / (1.0 - d2d_epsilon) if d2d else 0.0
+    if sym:
+        wpp = 2.0 * wpp
     # Attribute columns recovered from the one-hot argmin: the plane
     # (nx, ny, nz, n.t) always; the matched point (x, y, z) too in d2d
     # mode (the 3-vector residual needs q).
@@ -253,6 +272,25 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
             for i, t in enumerate((cr0, cr1, cr2, rx, ry, rz)):
                 gv[i] += -wpp * (t * w).sum(axis=1, keepdims=True)
             res2 = res2 + wpp * (rx * rx + ry * ry + rz * rz)
+            if sym:
+                # Source-covariance plane term: residual along the
+                # source normal rotated by the current estimate
+                # (docstring; sign-invariant, so unsigned normals are
+                # fine).
+                nsx = r00 * snx + r01 * sny + r02 * snz
+                nsy = r10 * snx + r11 * sny + r12 * snz
+                nsz = r20 * snx + r21 * sny + r22 * snz
+                e2 = nsx * rx + nsy * ry + nsz * rz
+                k0 = ay * nsz - az * nsy
+                k1 = az * nsx - ax * nsz
+                k2 = ax * nsy - ay * nsx
+                ks = (k0, k1, k2, nsx, nsy, nsz)
+                for i in range(6):
+                    for jj in range(i, 6):
+                        h[i][jj] += (ks[i] * ks[jj] * w).sum(
+                            axis=1, keepdims=True)
+                    gv[i] += -(ks[i] * e2 * w).sum(axis=1, keepdims=True)
+                res2 = res2 + e2 * e2
         ok = count >= 6.0                                          # [G, 1]
         active = done < 0.5
         # RMSE of the (weighted) residual at the CURRENT transform: used to
@@ -413,6 +451,8 @@ def icp_fused_pallas(
     src_valid: jax.Array,    # [N, P]
     tgt_packed: jax.Array,   # [N, S, 8] pre-cropped packed targets
                              # (pack_targets)
+    src_normals: jax.Array | None = None,  # [N, P, 3]: enables the
+                             # symmetric source-plane term (d2d only)
     *,
     max_iterations: int = 20,
     max_correspondence: float = 0.05,
@@ -433,6 +473,7 @@ def icp_fused_pallas(
     if d2d_epsilon:
         rotation_epsilon = rotation_epsilon * 0.1
         transformation_epsilon = transformation_epsilon * 0.1
+    sym = src_normals is not None and d2d_epsilon > 0.0
     n, p, _ = src_xyz.shape
     s = tgt_packed.shape[1]
     # Pad P to lanes, S to sublanes, N to the pose group size.
@@ -441,6 +482,10 @@ def icp_fused_pallas(
     n_pad = ((n + _GROUP - 1) // _GROUP) * _GROUP
 
     src_t = jnp.transpose(src_xyz, (0, 2, 1))
+    if sym:
+        src_t = jnp.concatenate(
+            [src_t, jnp.transpose(src_normals, (0, 2, 1))], axis=1)
+    src_rows = 6 if sym else 3
     if p_pad != p:
         src_t = jnp.pad(src_t, ((0, 0), (0, 0), (0, p_pad - p)))
     sadd = jnp.where(src_valid, 0.0, jnp.inf).astype(jnp.float32)[:, None, :]
@@ -471,12 +516,12 @@ def icp_fused_pallas(
         rot_eps_sq=rotation_epsilon * rotation_epsilon,
         trn_eps_sq=transformation_epsilon * transformation_epsilon,
         stagnation_streak=float(stagnation_streak),
-        d2d_epsilon=float(d2d_epsilon))
+        d2d_epsilon=float(d2d_epsilon), sym=sym)
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // _GROUP,),
         in_specs=[
-            pl.BlockSpec((_GROUP, 3, p_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((_GROUP, src_rows, p_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_GROUP, 1, p_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -464,6 +464,7 @@ class PerceptionEnv:
             cost_cloud=env.cost_cloud,
             cost_aug_samples=env.cost_aug_samples,
             icp_gicp_epsilon=env.icp_gicp_epsilon,
+            icp_d2d_symmetric=env.icp_d2d_symmetric,
             icp_nn_every=env.icp_nn_every,
             icp_stagnation_streak=_resolve_streak_env(
                 env.icp_stagnation_streak),

@@ -103,6 +103,9 @@ class ScorerConfig:
                                     # improvement; see EnvConfig)
     icp_gicp_epsilon: float = 0.05  # GICP plane-covariance floor (see
                                     # EnvConfig.icp_gicp_epsilon)
+    icp_d2d_symmetric: bool = True  # fused_d2d: include the source-
+                                    # covariance plane term (pallas_icp
+                                    # sym mode)
     cost_aug_samples: int = 0       # cost_cloud="transform": cap on the
                                     # explain-only surface samples appended
                                     # per pose (0 = the full per-model
@@ -350,8 +353,19 @@ def score_pose_batch(
                            / jnp.maximum(src_valid.sum(axis=1), 1)[:, None])
                 cidx = crop_targets(tgt_xyz, tgt_valid, centers, k)
                 tgt_pk = seg_pk[labels[:, None], cidx]
+            fused_src_nrm = None
+            if cfg.icp_mode == "fused_d2d" and cfg.icp_d2d_symmetric:
+                if src_nrm is None:
+                    # Source covariance from k-NN normals on the rendered
+                    # cloud, as fast_gicp estimates them
+                    # (renderer.cu:1697); model_source already carries
+                    # exact bank normals.
+                    from perception_tpu.ops.icp import cloud_normals
+
+                    src_nrm = cloud_normals(src_xyz, src_valid)
+                fused_src_nrm = src_nrm
             delta_mat = icp_fused_pallas(
-                src_xyz, src_valid, tgt_pk,
+                src_xyz, src_valid, tgt_pk, fused_src_nrm,
                 max_iterations=cfg.icp_max_iterations,
                 max_correspondence=cfg.icp_max_correspondence,
                 nn_every=cfg.icp_nn_every,
