@@ -43,8 +43,16 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "fused_d2d": ([], {"PT_ICP_MODE": "fused_d2d"}),
     "fused_d2d_nn1": ([], {"PT_ICP_MODE": "fused_d2d",
                            "PT_ICP_NN_EVERY": "1"}),
+    # The round-2 significant accuracy levers, re-testable under --noise
+    # (VERDICT r2: every significant claim must survive the sensor model).
+    "samples_240": (["--samples=240"], {}),
+    "refine_rounds_2": ([], {"PT_REFINE_ROUNDS": "2"}),
+    "capstone_color_refine2_s240": (["--samples=240"],
+                                    {"PT_COLOR_COST": "1",
+                                     "PT_REFINE_ROUNDS": "2"}),
     "icp_nn": ([], {"PT_ICP_MODE": "nn"}),
     "cost_crop_256": ([], {"PT_COST_CROP_TARGETS": "256"}),
+    "render_lod_512": ([], {"PT_RENDER_LOD": "512"}),
     "render_lod_256": ([], {"PT_RENDER_LOD": "256"}),
     "render_lod_128": ([], {"PT_RENDER_LOD": "128"}),
     "render_lod_64": ([], {"PT_RENDER_LOD": "64"}),

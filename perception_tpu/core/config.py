@@ -254,9 +254,20 @@ class EnvConfig:
                                               # appended per pose (0 = full
                                               # bank; strided subsample
                                               # otherwise — scorer.py)
-    icp_d2d_symmetric: bool = True            # fused_d2d: include the
+    icp_d2d_symmetric: bool = False           # fused_d2d: include the
                                               # source-covariance plane
-                                              # term (pallas_icp sym mode)
+                                              # term (pallas_icp sym
+                                              # mode). Measured OFF: the
+                                              # probe gains did not
+                                              # transfer (zoo@kinect
+                                              # 68.98 vs 68.29 target-
+                                              # only, noise-free 69.8 vs
+                                              # 70.3) and the k-NN source
+                                              # normals cost 6x at the
+                                              # bench batch; with
+                                              # icp_source=model the
+                                              # normals are free and the
+                                              # term is worth re-testing
     icp_gicp_epsilon: float = 0.05            # GICP plane-covariance floor
                                               # (fast_gicp uses 1e-3 with
                                               # k=20 covariances; with this

@@ -103,9 +103,10 @@ class ScorerConfig:
                                     # improvement; see EnvConfig)
     icp_gicp_epsilon: float = 0.05  # GICP plane-covariance floor (see
                                     # EnvConfig.icp_gicp_epsilon)
-    icp_d2d_symmetric: bool = True  # fused_d2d: include the source-
+    icp_d2d_symmetric: bool = False  # fused_d2d: include the source-
                                     # covariance plane term (pallas_icp
-                                    # sym mode)
+                                    # sym mode; measured off — see
+                                    # EnvConfig)
     cost_aug_samples: int = 0       # cost_cloud="transform": cap on the
                                     # explain-only surface samples appended
                                     # per pose (0 = the full per-model
