@@ -78,9 +78,14 @@ def main() -> None:
     scenes = pos[0] if pos else "50"
     rungs = list(RUNGS)
     noise = ""
+    timeout = 900
     for a in sys.argv[1:]:
         if a.startswith("--rungs="):
             rungs = a.split("=", 1)[1].split(",")
+        if a.startswith("--timeout="):
+            # Expensive rungs (capstone: 240 samples x refine-2 x colour)
+            # legitimately exceed the default 900 s budget.
+            timeout = int(a.split("=", 1)[1])
         if a.startswith("--noise="):
             # Run every selected rung under the given sensor model
             # (eval/sensor_model.py); results are keyed name@noise so the
@@ -112,7 +117,7 @@ def main() -> None:
         for attempt in range(3):
             try:
                 out = subprocess.run(cmd, env=env, capture_output=True,
-                                     text=True, timeout=900)
+                                     text=True, timeout=timeout)
                 break
             except subprocess.TimeoutExpired:
                 print(f"    attempt {attempt + 1} timed out; retrying",
