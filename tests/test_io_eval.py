@@ -207,3 +207,50 @@ def test_dope_baseline_ingestion_and_eval(tmp_path):
     assert out["errors"][0] < 1e-9
     assert abs(out["errors"][1] - 0.03) < 1e-9
     assert out["errors"][2] == np.inf
+
+
+def test_densefusion_baseline_ingestion_and_eval(tmp_path):
+    """DenseFusion result .mat files (wxyz quaternion + metre translation
+    rows, densefusion.py:350 contract) -> shared AUC protocol."""
+    import scipy.io as scio
+
+    from perception_tpu.eval.densefusion import (
+        evaluate_densefusion_results, load_densefusion_mat,
+        quat_wxyz_to_matrix)
+
+    # 90-degree yaw about z as wxyz.
+    q = [np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4)]
+    r = quat_wxyz_to_matrix(q)
+    np.testing.assert_allclose(r @ [1, 0, 0], [0, 1, 0], atol=1e-12)
+
+    pts = np.array([[0.05, 0, 0], [0, 0.05, 0], [0, 0, 0.05],
+                    [-0.05, 0, 0]])
+    gt_pose = {"category_id": 1, "r": np.eye(3),
+               "t": np.array([0.0, 0.0, 0.6])}
+
+    # Keyframe A: exact detection + a decoy class + an all-zero failed row.
+    scio.savemat(tmp_path / "0001.mat", {"poses": [
+        [1.0, 0, 0, 0, 0.0, 0.0, 0.6],
+        [1.0, 0, 0, 0, 1.0, 0.0, 0.6],
+        [0.0] * 7,
+    ]})
+    # Keyframe B: detection 3 cm off.
+    scio.savemat(tmp_path / "0002.mat", {"poses": [
+        [1.0, 0, 0, 0, 0.03, 0.0, 0.6],
+    ]})
+    # Keyframe C: no dump on disk -> missing detection counts as failure.
+
+    dets = load_densefusion_mat(str(tmp_path / "0001.mat"), class_ids=[1, 2])
+    assert len(dets) == 2                  # zero row dropped
+    np.testing.assert_allclose(dets[0]["t"], [0, 0, 0.6])
+    assert dets[1]["category_id"] == 2
+
+    gt = {"0001": [gt_pose], "0002": [gt_pose], "0003": [gt_pose]}
+    out = evaluate_densefusion_results(
+        str(tmp_path), gt, {1: pts},
+        class_ids={"0001": [1, 2], "0002": [1]})
+    assert out["total"] == 3
+    assert out["detected"] == 2
+    assert out["errors"][0] < 1e-9
+    assert abs(out["errors"][1] - 0.03) < 1e-9
+    assert out["errors"][2] == np.inf
