@@ -55,6 +55,11 @@ class LocalizerService:
                 "segmented_object_names",
                 [s.name for s in self.recognizer.specs]),
             use_external_pose_list=use_external)
+        # 3-DoF support-surface region, as perception_interface's
+        # table-height filtering supplies it (perception_interface.cpp:61).
+        for field in ("table_height", "x_min", "x_max", "y_min", "y_max"):
+            if field in payload:
+                setattr(rin, field, float(payload[field]))
 
         mode = payload.get("mode", "greedy")
         if mode == "greedy":
