@@ -215,3 +215,31 @@ def test_sharded_scorer_on_device_mesh(tpu_backend):
     got = np.asarray(scores.total_cost)
     want = np.asarray([s.cost for s in ref])
     np.testing.assert_array_equal(got, want)
+
+
+@requires_tpu
+def test_compiled_particle_likelihood(tpu_backend):
+    """The likelihood op is plain-XLA; check the compiled TPU result
+    matches the CPU-computed reference on a rendered particle stack."""
+    import jax.numpy as jnp
+
+    from perception_tpu.ops.likelihood import particle_log_likelihood
+
+    rng = np.random.default_rng(3)
+    obs = rng.uniform(0.5, 2.5, size=(32, 40)).astype(np.float32)
+    obs[0, :5] = 0.0
+    rend = obs[None] + rng.normal(0, 0.1, size=(16, 32, 40)).astype(np.float32)
+    rend[3, 1, 1] = np.nan
+    got = np.asarray(particle_log_likelihood(jnp.asarray(obs),
+                                             jnp.asarray(rend)))
+    # CPU float64 reference of the same closed form.
+    import math
+    want = np.zeros(16)
+    for n in range(16):
+        for o, r in zip(obs.ravel(), rend[n].ravel()):
+            if not (o > 0 and np.isfinite(o) and r > 0 and np.isfinite(r)):
+                continue
+            d = min(abs(float(o) - float(r)), 3.0)
+            hn = 2 / (0.5 * math.sqrt(2 * math.pi)) * math.exp(-d * d / 0.5)
+            want[n] += math.log(0.99 / 3.0 + 0.01 * hn)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
