@@ -88,7 +88,8 @@ def main() -> None:
         "batch_seconds": round(best, 4),
         "compile_seconds": round(compile_time, 1),
         "device": str(jax.devices()[0]),
-        "config": (f"real-scene 640x480 s8 T1024 roi32 icp_fused "
+        "config": (f"real-scene 640x480 s8 "
+                   f"lod={env.env.render_lod or 'full'} roi32 icp_fused "
                    f"pallas_direct nn_every={cfg.icp_nn_every} "
                    f"icp_crop={cfg.icp_crop_targets} "
                    f"cost_crop={cfg.cost_crop_targets} "
