@@ -70,7 +70,8 @@ class FrameWatcher:
 
         depth = cv2.imread(self._path(key, "depth.png"), cv2.IMREAD_UNCHANGED)
         if depth is None:
-            raise FileNotFoundError(self._path(key, "depth.png"))
+            raise ValueError(
+                f"missing or undecodable depth PNG: {self._path(key, 'depth.png')}")
         payload: dict = {
             "depth_image": np.asarray(depth, np.float64).tolist(),
             "depth_factor": self.depth_factor,
@@ -117,7 +118,16 @@ class FrameWatcher:
     def scan_once(self) -> list[str]:
         done = []
         for key in self.pending_keys():
-            self.process(key)
+            try:
+                self.process(key)
+            except Exception as e:
+                # A malformed frame must not kill the loop (the reference's
+                # topic callback logs and waits for the next frame) — and
+                # must not retry hot: record the failure as the frame's
+                # result so it is marked processed.
+                with open(self._path(key, "detections.json"), "w") as f:
+                    json.dump({"frame": key, "error": repr(e),
+                               "detections": []}, f)
             done.append(key)
         return done
 

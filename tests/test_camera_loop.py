@@ -85,3 +85,19 @@ def test_requires_exactly_one_dispatcher(tmp_path):
         FrameWatcher(str(tmp_path))
     with pytest.raises(ValueError):
         FrameWatcher(str(tmp_path), service=object(), url="http://x")
+
+
+def test_bad_frame_recorded_not_fatal(tmp_path, scene):
+    env, gt = scene
+    service = LocalizerService(_FakeRecognizer(env))
+    # A depth PNG that is not a PNG.
+    (tmp_path / "bad-depth.png").write_bytes(b"not a png")
+    _drop_frame(tmp_path, "good", env, gt)
+    w = FrameWatcher(str(tmp_path), service=service, depth_factor=100.0)
+    done = w.scan_once()
+    assert sorted(done) == ["bad", "good"]
+    bad = json.load(open(tmp_path / "bad-detections.json"))
+    assert bad["detections"] == [] and "error" in bad
+    good = json.load(open(tmp_path / "good-detections.json"))
+    assert good["detections"]
+    assert w.pending_keys() == []     # neither retries
