@@ -113,25 +113,54 @@ def main() -> None:
               flush=True)
         # The axon tunnel occasionally hangs a fresh process on device
         # acquisition right after the previous one exits; bound each rung
-        # and retry (observed round 2 — see repo memory).
-        for attempt in range(3):
-            try:
-                out = subprocess.run(cmd, env=env, capture_output=True,
-                                     text=True, timeout=timeout)
+        # and retry (observed round 2 — see repo memory). A hung process
+        # emits NOTHING (not even jax's platform warning, which a healthy
+        # start prints within ~30 s), so zero output after 180 s is the
+        # hang signature — kill fast instead of burning the full timeout.
+        out = None
+        for attempt in range(4):
+            import tempfile
+
+            log = tempfile.NamedTemporaryFile("w+", suffix=".runglog",
+                                              delete=False)
+            proc = subprocess.Popen(cmd, env=env, stdout=log, stderr=log,
+                                    text=True)
+            t_start = time.time()
+            rc = None
+            while True:
+                try:
+                    rc = proc.wait(timeout=10)
+                    break
+                except subprocess.TimeoutExpired:
+                    elapsed = time.time() - t_start
+                    if elapsed > 180 and os.path.getsize(log.name) == 0:
+                        proc.kill()
+                        proc.wait()
+                        print("    stalled in device acquisition; "
+                              "relaunching", flush=True)
+                        break
+                    if elapsed > timeout:
+                        proc.kill()
+                        proc.wait()
+                        print(f"    attempt {attempt + 1} timed out; "
+                              "retrying", flush=True)
+                        break
+            log.flush()
+            with open(log.name) as f:
+                captured = f.read()
+            os.unlink(log.name)
+            if rc is not None:
+                out = captured
                 break
-            except subprocess.TimeoutExpired:
-                print(f"    attempt {attempt + 1} timed out; retrying",
-                      flush=True)
-                time.sleep(30)
-        else:
+            time.sleep(30)
+        if out is None:
             results[name] = {"error": "timeout"}
             continue
-        line = [ln for ln in out.stdout.splitlines()
+        line = [ln for ln in out.splitlines()
                 if ln.startswith("{")]
         if not line:
-            print(out.stdout[-2000:])
-            print(out.stderr[-2000:])
-            results[name] = {"error": out.returncode}
+            print(out[-3000:])
+            results[name] = {"error": rc}
             continue
         results[name] = json.loads(line[-1])
         r = results[name]
