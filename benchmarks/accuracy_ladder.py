@@ -150,8 +150,21 @@ def main() -> None:
                 captured = f.read()
             os.unlink(log.name)
             if rc is not None:
-                out = captured
-                break
+                # A transient tunnel failure (another process briefly held
+                # the chip, or the tunnel dropped) exits non-zero quickly
+                # with a backend-init signature. Retry those; accept any
+                # other outcome (success, or a real in-framework error).
+                transient = rc != 0 and any(
+                    sig in captured for sig in (
+                        "Unable to initialize backend",
+                        "FAILED_PRECONDITION",
+                        "UNAVAILABLE",
+                    ))
+                if not transient:
+                    out = captured
+                    break
+                print(f"    attempt {attempt + 1}: transient backend "
+                      "failure; retrying", flush=True)
             time.sleep(30)
         if out is None:
             results[name] = {"error": "timeout"}
