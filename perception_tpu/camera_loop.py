@@ -113,7 +113,26 @@ class FrameWatcher:
         with open(tmp, "w") as f:
             json.dump(result, f, indent=1)
         os.replace(tmp, out)   # atomic: consumers never see partial JSON
+        self._write_overlay(key)
         return result
+
+    def _write_overlay(self, key: str) -> None:
+        """Pose-composited RGB next to the frame (the reference's
+        pose_rgb_pub_ image publication, perception_interface.cpp:541).
+        In-process mode only: a remote serve.py exposes the same image at
+        GET /overlay.png instead."""
+        if self.service is None:
+            return
+        try:
+            overlay = self.service.render_overlay()
+            if overlay is None:
+                return
+            import cv2
+
+            cv2.imwrite(self._path(key, "overlay.png"),
+                        overlay[:, :, ::-1])
+        except Exception:
+            pass   # visualisation must never fail the frame
 
     def scan_once(self) -> list[str]:
         done = []

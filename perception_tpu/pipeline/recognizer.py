@@ -154,6 +154,11 @@ class ObjectRecognizer:
     # ------------------------------------------------------------------
 
     def _result_from_state(self, state: GraphState) -> LocalizationResult:
+        # Kept for the visualisation surface (serve.py overlay endpoint /
+        # camera-loop overlay PNGs — the reference's pose_rgb_pub_,
+        # perception_interface.cpp:541): the composited debug render needs
+        # the ObjectStates, which LocalizationResult deliberately flattens.
+        self.last_state = state
         names, poses, tfs, pres = [], [], [], []
         seg_names = (self.env._input.segmented_object_names
                      if self.env._input is not None else [])

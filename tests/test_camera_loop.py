@@ -60,6 +60,13 @@ def test_in_process_frame_localisation(tmp_path, scene):
         det["translation"], [gt[0].pose.x, gt[0].pose.y, gt[0].pose.z],
         atol=5e-3)
 
+    # Pose-overlay visualisation written next to the frame (the
+    # reference's pose_rgb_pub_ publication, perception_interface.cpp:541).
+    import cv2
+    overlay = cv2.imread(str(tmp_path / "frame0001-overlay.png"))
+    assert overlay is not None
+    assert overlay.shape[:2] == (env.camera.height, env.camera.width)
+
     # Restart safety: the detections file marks the frame processed.
     assert w.pending_keys() == []
     assert FrameWatcher(str(tmp_path), service=service).scan_once() == []

@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -32,6 +33,7 @@ class _FakeRecognizer:
         env.set_input(rin)
         cands = env.generate_successors_6dof(pose_lists)
         state, _ = env.compute_greedy_poses(cands)
+        self.last_state = state   # visualisation surface (overlay endpoint)
         names, poses, tfs = [], [], []
         for obj in state.object_states:
             model = env.bank.models[obj.id]
@@ -79,6 +81,40 @@ def test_service_round_trip():
         assert out["detections"][0]["name"] == "red_box"
         t_est = out["detections"][0]["translation"]
         assert abs(t_est[0] - gt[0].pose.x) < 0.03
+
+        # Visualisation surface: status page + pose-overlay PNG (the
+        # reference's pose_rgb_pub_ image publication served over GET).
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/status", timeout=30) as resp:
+            status = json.loads(resp.read())
+        assert status["detections"][0]["name"] == "red_box"
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=30) as resp:
+            page = resp.read().decode()
+        assert "red_box" in page and "/overlay.png" in page
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/overlay.png", timeout=60) as resp:
+            png = resp.read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        server.shutdown()
+
+
+def test_overlay_before_first_localization_404s():
+    from perception_tpu.serve import LocalizerService, serve
+
+    env = make_env()
+    service = LocalizerService(_FakeRecognizer(env))
+    assert service.render_overlay() is None
+    server = serve(_FakeRecognizer(env), port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/overlay.png", timeout=30)
+        assert exc.value.code == 404
     finally:
         server.shutdown()
 
