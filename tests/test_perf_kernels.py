@@ -194,6 +194,36 @@ def test_direct_raster_matches_xla_roi():
     assert dd.max() <= 1 and (dd > 0).mean() < 0.005
 
 
+def test_direct_raster_sub_batch_parity(monkeypatch):
+    """Batches beyond SUB_BATCH run the kernel per slice under lax.map
+    (one pallas instance in the program, not n/SUB_BATCH unrolled copies);
+    both the divisible lax.map path and the ragged-tail unrolled path must
+    match the single-call result exactly."""
+    from perception_tpu.ops import pallas_raster_direct as prd
+
+    bank, poses, ids = _setup_two_models(n_poses=12, seed=7)
+    proj = jnp.asarray(CAM.projection())
+    v16 = prd.pack_bank_verts(
+        bank.tri_verts, bank.tri_valid, jnp.asarray(bank.backface_cull))
+    anchors = jnp.zeros((12, 2), jnp.int32)
+    kwargs = dict(width=CAM.width, height=CAM.height, stride=2,
+                  interpret=True)
+
+    # The outer wrapper is jitted and would cache across the SUB_BATCH
+    # monkeypatch (identical shapes/statics), so drive the unjitted body.
+    call = prd.rasterize_direct_pallas.__wrapped__
+    ref = call(
+        v16, jnp.asarray(poses), jnp.asarray(ids), anchors, proj, **kwargs)
+    monkeypatch.setattr(prd, "SUB_BATCH", 4)
+    mapped = call(                              # 12 = 3 x 4: lax.map path
+        v16, jnp.asarray(poses), jnp.asarray(ids), anchors, proj, **kwargs)
+    np.testing.assert_array_equal(np.asarray(mapped), np.asarray(ref))
+    monkeypatch.setattr(prd, "SUB_BATCH", 5)
+    ragged = call(                              # 12 = 5+5+2: unrolled path
+        v16, jnp.asarray(poses), jnp.asarray(ids), anchors, proj, **kwargs)
+    np.testing.assert_array_equal(np.asarray(ragged), np.asarray(ref))
+
+
 def test_pallas_knn_interpret_matches_xla(rng):
     n, p, s = 2, 40, 70
     q = rng.normal(size=(n, p, 3)).astype(np.float32)
