@@ -139,6 +139,23 @@ def main() -> None:
                         print("    stalled in device acquisition; "
                               "relaunching", flush=True)
                         break
+                    if elapsed > 420:
+                        # Second hang signature (observed round 3): the
+                        # process emits jax's platform warning, then
+                        # stalls forever acquiring the device — the log
+                        # is non-empty but carries no real output. A
+                        # healthy run prints its first scene line well
+                        # inside 7 min (env build + cold compile).
+                        with open(log.name) as lf:
+                            body = [ln for ln in lf.read().splitlines()
+                                    if ln.strip()
+                                    and "WARNING" not in ln]
+                        if not body:
+                            proc.kill()
+                            proc.wait()
+                            print("    stalled post-warning (device "
+                                  "acquisition); relaunching", flush=True)
+                            break
                     if elapsed > timeout:
                         proc.kill()
                         proc.wait()
