@@ -70,6 +70,18 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "combo_model_cost256_nn2": ([], {"PT_ICP_SOURCE": "model",
                                      "PT_COST_CROP_TARGETS": "256",
                                      "PT_ICP_NN_EVERY": "2"}),
+    # Decimator/render-LOD pricing on the HIGH-RES zoo (the base zoo is
+    # 20-504 tris, so LOD >= 512 is vacuous there). QEM vs clustering at
+    # the same budget, and the LOD ladder under QEM.
+    "hires_qem": (["--models=zoo_hires"], {"PT_DECIMATE": "qem"}),
+    "hires_cluster": (["--models=zoo_hires"], {"PT_DECIMATE": "cluster"}),
+    "hires_qem_lod512": (["--models=zoo_hires"],
+                         {"PT_DECIMATE": "qem", "PT_RENDER_LOD": "512"}),
+    "hires_qem_lod256": (["--models=zoo_hires"],
+                         {"PT_DECIMATE": "qem", "PT_RENDER_LOD": "256"}),
+    "hires_cluster_lod512": (["--models=zoo_hires"],
+                             {"PT_DECIMATE": "cluster",
+                              "PT_RENDER_LOD": "512"}),
 }
 
 

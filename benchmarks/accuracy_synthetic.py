@@ -63,6 +63,17 @@ def build_env(model_set: str = "zoo"):
         models = build_zoo_models(use_external_pose_list=True)
         t_cap = 512
         max_labels = 8
+    elif model_set == "zoo_hires":
+        # High-resolution zoo (~2-8k tris/shape) decimated to 1024 through
+        # the configured decimator (PT_DECIMATE) — the base zoo is 20-504
+        # triangles so render-LOD >= 512 never touches it; LOD/decimator
+        # accuracy pricing is only meaningful on this set.
+        from perception_tpu.eval.model_zoo import build_zoo_models
+
+        models = build_zoo_models(use_external_pose_list=True,
+                                  resolution=4.0, target_triangles=1024)
+        t_cap = 1024
+        max_labels = 8
     else:
         def box(w, d, h):
             x, y = w / 2, d / 2

@@ -22,6 +22,7 @@ TPU-native replacement for the reference's assimp-based `cuda_renderer::Model`
 from __future__ import annotations
 
 import dataclasses
+import os
 import struct
 
 import numpy as np
@@ -313,6 +314,203 @@ def decimate_vertex_clustering(
     return best
 
 
+def decimate_qem(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: np.ndarray | None,
+    target_triangles: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Quadric-error-metric edge-collapse decimation (Garland-Heckbert).
+
+    Much higher geometric fidelity per triangle than vertex clustering —
+    collapses are ordered by the plane-distance error they introduce, so
+    flat regions give up their triangles first and curvature/feature
+    edges survive. This prices directly into the render-LOD throughput
+    ladder (ARCHITECTURE.md): the LOD a given AUC budget affords is set
+    by decimation quality. Boundary edges (open rims: mug top, bowl lip)
+    are held by perpendicular constraint quadrics; collapses that flip
+    an incident face normal are rejected.
+
+    Deterministic. O(E log E) with lazy heap invalidation; Python-level,
+    amortised by io/model_cache for file-loaded models.
+    """
+    import heapq
+
+    faces = np.asarray(faces, np.int64)
+    if len(faces) <= target_triangles:
+        return verts, faces, colors
+    pos = np.asarray(verts, np.float64).copy()
+    nv = len(pos)
+
+    # Per-face plane quadrics, area-weighted.
+    tri = pos[faces]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    area2 = np.linalg.norm(fn, axis=1)
+    ok = area2 > 1e-18
+    nrm = np.where(ok[:, None], fn / np.maximum(area2, 1e-18)[:, None], 0.0)
+    dpl = -(nrm * tri[:, 0]).sum(axis=1)
+    p4 = np.c_[nrm, dpl]
+    kf = (p4[:, :, None] * p4[:, None, :]) * area2[:, None, None]
+    quad = np.zeros((nv, 4, 4))
+    for c in range(3):
+        np.add.at(quad, faces[:, c], kf)
+
+    # Boundary constraint quadrics: for each edge with no reverse twin,
+    # a plane through the edge perpendicular to its face, weighted by the
+    # squared edge length (keeps open rims in place).
+    e_all = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]])
+    e_face = np.tile(np.arange(len(faces)), 3)
+    key = e_all[:, 0] * (nv + 1) + e_all[:, 1]
+    rev = e_all[:, 1] * (nv + 1) + e_all[:, 0]
+    boundary = ~np.isin(rev, key)
+    for (a, b), fi in zip(e_all[boundary], e_face[boundary]):
+        ev = pos[b] - pos[a]
+        cn = np.cross(ev, nrm[fi])
+        ln = np.linalg.norm(cn)
+        if ln < 1e-18:
+            continue
+        cn = cn / ln
+        cp4 = np.r_[cn, -np.dot(cn, pos[a])]
+        w = float(np.dot(ev, ev)) * 100.0
+        quad[a] += w * np.outer(cp4, cp4)
+        quad[b] += w * np.outer(cp4, cp4)
+
+    vcol = (np.asarray(colors, np.float64).copy()
+            if colors is not None else None)
+    vweight = np.ones(nv)   # merged-vertex count for colour averaging
+
+    # Mutable connectivity.
+    vfaces: list[set] = [set() for _ in range(nv)]
+    for fi, f in enumerate(faces):
+        for c in range(3):
+            vfaces[f[c]].add(fi)
+    fvert = faces.copy()
+    alive_f = np.ones(len(faces), bool)
+    alive_f &= ok    # drop degenerate-input faces from the count
+    alive_v = np.ones(nv, bool)
+    version = np.zeros(nv, np.int64)
+    n_alive = int(alive_f.sum())
+
+    def edge_cost(a: int, b: int):
+        q = quad[a] + quad[b]
+        a3, b3 = q[:3, :3], -q[:3, 3]
+        scale = np.trace(a3) + 1e-30
+        cands = []
+        try:
+            if abs(np.linalg.det(a3)) > 1e-12 * scale**3:
+                cands.append(np.linalg.solve(a3, b3))
+        except np.linalg.LinAlgError:
+            pass
+        cands.extend((0.5 * (pos[a] + pos[b]), pos[a], pos[b]))
+        best, best_c = None, np.inf
+        for v in cands:
+            h = np.r_[v, 1.0]
+            cst = float(h @ q @ h)
+            if cst < best_c:
+                best, best_c = v, cst
+        return best_c, best
+
+    heap: list = []
+    pushed = set()
+    for a, b in e_all:
+        ea, eb = (int(a), int(b)) if a < b else (int(b), int(a))
+        if (ea, eb) in pushed:
+            continue
+        pushed.add((ea, eb))
+        cst, _ = edge_cost(ea, eb)
+        heapq.heappush(heap, (cst, ea, eb, 0, 0))
+
+    while n_alive > target_triangles and heap:
+        cst, a, b, va, vb = heapq.heappop(heap)
+        if (not alive_v[a] or not alive_v[b]
+                or version[a] != va or version[b] != vb):
+            continue
+        cst2, vbar = edge_cost(a, b)
+        shared = vfaces[a] & vfaces[b]
+        if not shared:
+            continue   # connectivity changed; no longer an edge
+        # Reject collapses that flip a surviving incident face.
+        flip = False
+        for fi in (vfaces[a] | vfaces[b]) - shared:
+            if not alive_f[fi]:
+                continue
+            f = fvert[fi]
+            old = np.cross(pos[f[1]] - pos[f[0]], pos[f[2]] - pos[f[0]])
+            moved = [vbar if v in (a, b) else pos[v] for v in f]
+            new = np.cross(moved[1] - moved[0], moved[2] - moved[0])
+            if np.dot(old, new) <= 0:
+                flip = True
+                break
+        if flip:
+            continue
+        # Merge b into a at vbar.
+        pos[a] = vbar
+        quad[a] = quad[a] + quad[b]
+        if vcol is not None:
+            wa, wb = vweight[a], vweight[b]
+            vcol[a] = (wa * vcol[a] + wb * vcol[b]) / (wa + wb)
+            vweight[a] = wa + wb
+        alive_v[b] = False
+        for fi in shared:
+            if alive_f[fi]:
+                alive_f[fi] = False
+                n_alive -= 1
+            for v in fvert[fi]:
+                vfaces[v].discard(fi)
+        for fi in list(vfaces[b]):
+            fvert[fi][fvert[fi] == b] = a
+            vfaces[a].add(fi)
+        vfaces[b] = set()
+        version[a] += 1
+        version[b] += 1
+        # Re-key the merged vertex's edges.
+        nbrs = set()
+        for fi in vfaces[a]:
+            if alive_f[fi]:
+                nbrs.update(int(v) for v in fvert[fi] if v != a)
+        for b2 in nbrs:
+            cst3, _ = edge_cost(a, b2)
+            ea, eb = (a, b2) if a < b2 else (b2, a)
+            heapq.heappush(
+                heap, (cst3, ea, eb, int(version[ea]), int(version[eb])))
+
+    out_faces = fvert[alive_f]
+    # Drop degenerates introduced by rejected-flip edge cases.
+    keep = ((out_faces[:, 0] != out_faces[:, 1])
+            & (out_faces[:, 1] != out_faces[:, 2])
+            & (out_faces[:, 0] != out_faces[:, 2]))
+    out_faces = out_faces[keep]
+    remap = -np.ones(nv, np.int64)
+    used = np.unique(out_faces)
+    remap[used] = np.arange(len(used))
+    out_faces = remap[out_faces]
+    out_verts = pos[used]
+    out_colors = (vcol[used].clip(0, 255).astype(np.uint8)
+                  if vcol is not None else None)
+    if len(out_faces) > target_triangles:
+        # Heap exhausted above target (all remaining collapses would flip
+        # a face): fall back to clustering for the remainder.
+        return decimate_vertex_clustering(
+            out_verts, out_faces, out_colors, target_triangles)
+    return out_verts, out_faces, out_colors
+
+
+def decimate(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: np.ndarray | None,
+    target_triangles: int,
+    mode: str | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Decimation dispatcher: mode = "qem" | "cluster" (default; env
+    override PT_DECIMATE)."""
+    mode = mode or os.environ.get("PT_DECIMATE", "cluster")
+    if mode == "qem":
+        return decimate_qem(verts, faces, colors, target_triangles)
+    return decimate_vertex_clustering(verts, faces, colors, target_triangles)
+
+
 # --------------------------------------------------------------------------
 # Footprint / radii helpers
 # --------------------------------------------------------------------------
@@ -502,7 +700,7 @@ def load_model(
         verts, mesh_in_mm, scaling_factor, flipped, use_external_pose_list)
     num_original = len(faces)
     full_tris = verts[faces].astype(np.float32)
-    dverts, dfaces, dcolors = decimate_vertex_clustering(
+    dverts, dfaces, dcolors = decimate(
         verts, faces, colors, target_triangles)
     cullable, dfaces = analyze_winding(dverts, dfaces)
     tri_verts = dverts[dfaces].astype(np.float32)
@@ -530,22 +728,36 @@ def mesh_model_from_arrays(
     colors: np.ndarray | None = None,
     symmetric: bool = False,
     symmetry_mode: int = 0,
+    target_triangles: int | None = None,
     **preprocess_kwargs,
 ) -> MeshModel:
-    """Build a MeshModel from in-memory arrays (tests / synthetic scenes)."""
+    """Build a MeshModel from in-memory arrays (tests / synthetic scenes).
+
+    target_triangles decimates like the file-load path does (keeping the
+    undecimated triangles as full_tri_verts for ADD/ADD-S metrics) —
+    needed for high-resolution procedural models (zoo resolution>1)."""
     verts, pre_transform = preprocess_model(np.asarray(verts, np.float64),
                                             **preprocess_kwargs)
     faces = np.asarray(faces, np.int64)
+    num_original = len(faces)
+    full_tris = verts[faces].astype(np.float32)
+    vcolors = (np.asarray(colors, np.float64) if colors is not None
+               else None)
+    if target_triangles is not None and len(faces) > target_triangles:
+        verts, faces, vcolors = decimate(
+            verts, faces, vcolors, target_triangles)
     cullable, faces = analyze_winding(verts, faces)
     tri_verts = verts[faces].astype(np.float32)
-    if colors is not None:
-        tri_colors = np.asarray(colors, np.float64)[faces].mean(axis=1).astype(np.uint8)
+    if vcolors is not None:
+        tri_colors = vcolors[faces].mean(axis=1).clip(0, 255).astype(np.uint8)
     else:
         tri_colors = np.full((len(faces), 3), 128, dtype=np.uint8)
     return MeshModel(name=name, tri_verts=tri_verts, tri_colors=tri_colors,
                      preprocessing_transform=pre_transform,
                      symmetric=symmetric, symmetry_mode=symmetry_mode,
-                     full_tri_verts=tri_verts, backface_cullable=cullable)
+                     full_tri_verts=full_tris,
+                     num_original_triangles=num_original,
+                     backface_cullable=cullable)
 
 
 def analyze_winding(verts: np.ndarray, faces: np.ndarray) -> tuple[bool, np.ndarray]:
@@ -667,7 +879,7 @@ class ModelBank:
             vcol = np.full((len(verts), 3), 128.0)
             for c in range(3):
                 vcol[faces[:, c]] = m.tri_colors[:m.num_triangles]
-            dverts, dfaces, dcol = decimate_vertex_clustering(
+            dverts, dfaces, dcol = decimate(
                 verts, faces, vcol, target_triangles)
             cullable, dfaces = analyze_winding(dverts, dfaces)
             tri_verts = dverts[dfaces].astype(np.float32)

@@ -156,40 +156,55 @@ def _gradient(verts, axis=2, c0=(30, 160, 90), c1=(230, 240, 235)):
 # Shapes.
 
 
-def mug(r=0.042, h=0.10, wall=0.007, handle_r=0.026):
+def _densify_profile(prof: np.ndarray, res: float) -> np.ndarray:
+    """Insert ceil(res)-1 interpolated rows between profile rows, so hires
+    revolved surfaces gain rings (curvature detail) not just segments."""
+    k = max(1, int(round(res)))
+    if k == 1:
+        return prof
+    rows = [prof[0]]
+    for i in range(1, len(prof)):
+        for j in range(1, k + 1):
+            rows.append(prof[i - 1] + (prof[i] - prof[i - 1]) * j / k)
+    return np.asarray(rows)
+
+
+def mug(r=0.042, h=0.10, wall=0.007, handle_r=0.026, res=1.0):
     """Open-top mug with a handle loop: concave interior + genus-1 handle."""
     prof = np.array([
         [1e-4, 0.0], [r, 0.0], [r, h],             # outer wall
         [r - wall, h], [r - wall, wall],           # inner wall down
         [1e-4, wall],                              # inner bottom
     ])
-    body = _revolve(prof, 22, close_bottom=False, close_top=False)
+    body = _revolve(_densify_profile(prof, res), int(round(22 * res)),
+                    close_bottom=False, close_top=False)
     # Handle: half-ellipse tube sticking out of the wall.
-    ang = np.linspace(-0.45 * np.pi, 0.45 * np.pi, 9)
+    ang = np.linspace(-0.45 * np.pi, 0.45 * np.pi, int(round(9 * res)))
     path = np.c_[r - 0.004 + handle_r * np.cos(ang),
                  np.zeros_like(ang),
                  h / 2 + handle_r * 1.05 * np.sin(ang)]
-    handle = _tube(path, 0.007, n_seg=8)
+    handle = _tube(path, 0.007, n_seg=int(round(8 * res)))
     verts, faces = _merge([body, handle])
     return verts, faces, _checker(verts, cell=0.024)
 
 
-def bowl(r=0.065, h=0.042, wall=0.006):
+def bowl(r=0.065, h=0.042, wall=0.006, res=1.0):
     """Open hemispherical shell: strong concavity, axial symmetry."""
     # Radius grows with sqrt(z): a shallow spherical-cap profile.
-    zs = np.linspace(0.0, h, 6)
+    zs = np.linspace(0.0, h, int(round(6 * res)))
     router = r * np.sqrt(np.clip(zs / h, 1e-4, 1.0))
     rinner = np.clip(router - wall, 1e-4, None)
     prof = np.vstack([
         np.c_[router, zs],                       # outer, bottom-up
         np.c_[rinner[::-1], np.clip(zs[::-1], wall, None)],  # inner, top-down
     ])
-    verts, faces = _revolve(prof, 20, close_bottom=True, close_top=True)
+    verts, faces = _revolve(prof, int(round(20 * res)),
+                            close_bottom=True, close_top=True)
     return verts, faces, _bands(verts, period=0.016,
                                 c0=(200, 80, 160), c1=(240, 240, 240))
 
 
-def l_bracket(w=0.10, d=0.05, h=0.10, t=0.03):
+def l_bracket(w=0.10, d=0.05, h=0.10, t=0.03, res=1.0):
     """L-shaped extrusion: non-convex, no rotational symmetry."""
     # 2D L outline in (x, z), extruded along y.
     outline = np.array([
@@ -209,25 +224,24 @@ def l_bracket(w=0.10, d=0.05, h=0.10, t=0.03):
         j = (i + 1) % n
         faces += [[i, j, n + i], [j, n + j, n + i]]   # side walls
     faces = np.asarray(faces, np.int64)
+    for _ in range(int(np.log2(max(res, 1)))):
+        verts, faces = _subdivide(verts, faces)
     return verts, faces, _checker(verts, cell=0.02,
                                   c0=(60, 60, 70), c1=(250, 190, 40))
 
 
-def elbow(r=0.022, leg=0.09):
+def elbow(r=0.022, leg=0.09, res=1.0):
     """90-degree bent tube (pipe elbow)."""
-    bend = [np.array([leg, 0, 0]) * (1 - s) for s in np.linspace(0, 1, 4)]
-    arc = [np.array([0.02 * np.cos(a), 0, 0.02 * np.sin(a)])
-           for a in np.linspace(-np.pi / 2, 0, 5)] if False else []
     path = np.array(
         [[leg, 0, 0], [0.04, 0, 0], [0.015, 0, 0.004], [0.004, 0, 0.015],
          [0, 0, 0.04], [0, 0, leg]])
-    del bend, arc
-    verts, faces = _tube(path, r, n_seg=12)
+    path = _densify_profile(path, res)   # works for 3D polylines too
+    verts, faces = _tube(path, r, n_seg=int(round(12 * res)))
     return verts, faces, _gradient(verts, axis=0,
                                    c0=(200, 120, 40), c1=(90, 200, 220))
 
 
-def cracker_box(w=0.06, d=0.158, h=0.21):
+def cracker_box(w=0.06, d=0.158, h=0.21, res=1.0):
     """YCB cracker-box-like cuboid with checker texture."""
     x, y = w / 2, d / 2
     verts = np.array([
@@ -238,17 +252,17 @@ def cracker_box(w=0.06, d=0.158, h=0.21):
         [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
         [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]], np.int64)
     # Subdivide for colour resolution (per-vertex colours need vertices).
-    for _ in range(2):
+    for _ in range(2 + int(np.log2(max(res, 1)))):
         verts, faces = _subdivide(verts, faces)
     return verts, faces, _checker(verts, cell=0.035,
                                   c0=(200, 40, 40), c1=(250, 245, 235))
 
 
-def soup_can(r=0.033, h=0.10):
+def soup_can(r=0.033, h=0.10, res=1.0):
     """Cylindrical can with label bands (axially symmetric)."""
-    zs = np.linspace(0.0, h, 9)
+    zs = np.linspace(0.0, h, int(round(9 * res)))
     prof = np.c_[np.full(len(zs), r), zs]   # ring per band step
-    verts, faces = _revolve(prof, 28)
+    verts, faces = _revolve(prof, int(round(28 * res)))
     colors = _bands(verts, period=0.025,
                     c0=(190, 30, 40), c1=(245, 245, 245))
     return verts, faces, colors
@@ -286,12 +300,61 @@ _ZOO = {
 
 
 def build_zoo_models(names: list[str] | None = None,
+                     resolution: float = 1.0,
+                     target_triangles: int | None = None,
                      **preprocess_kwargs) -> list[MeshModel]:
-    """MeshModels for the evaluation zoo (all, or the given subset)."""
+    """MeshModels for the evaluation zoo (all, or the given subset).
+
+    resolution > 1 generates the shapes at multiplied tessellation
+    density (smooth curved surfaces at thousands of triangles), which
+    makes decimation quality *measurable*: the base zoo is 20-504
+    triangles, so render-LOD targets >= 512 never touch it and an LOD
+    AUC rung on it is vacuous. Pair with target_triangles to decimate
+    back down through the configured decimator (PT_DECIMATE)."""
+    import os
+
+    # QEM decimation of the hires shapes costs ~5 s/model in Python; the
+    # generators are deterministic, so cache the finished MeshModel arrays
+    # (ladder subprocesses rebuild the zoo on every run/retry).
+    mode = os.environ.get("PT_DECIMATE", "cluster")
+    cache_dir = (os.path.expanduser("~/.cache/perception_tpu/zoo_v1")
+                 if (resolution != 1.0 and target_triangles) else None)
+
     out = []
     for name in (names or list(_ZOO)):
         gen, symmetric = _ZOO[name]
-        v, f, c = gen()
-        m = mesh_model_from_arrays(name, v, f, colors=c, **preprocess_kwargs)
-        out.append(dataclasses.replace(m, symmetric=symmetric))
+        cache_path = None
+        if cache_dir:
+            kw = "-".join(f"{k}={v}" for k, v in
+                          sorted(preprocess_kwargs.items()))
+            cache_path = os.path.join(
+                cache_dir,
+                f"{name}-r{resolution}-t{target_triangles}-{mode}-{kw}.npz")
+            if os.path.exists(cache_path):
+                z = np.load(cache_path)
+                out.append(MeshModel(
+                    name=name, tri_verts=z["tri_verts"],
+                    tri_colors=z["tri_colors"],
+                    preprocessing_transform=z["pre"],
+                    symmetric=symmetric,
+                    full_tri_verts=z["full_tri_verts"],
+                    num_original_triangles=int(z["num_original"]),
+                    backface_cullable=bool(z["cullable"])))
+                continue
+        v, f, c = gen(res=resolution) if resolution != 1.0 else gen()
+        m = mesh_model_from_arrays(name, v, f, colors=c,
+                                   target_triangles=target_triangles,
+                                   **preprocess_kwargs)
+        m = dataclasses.replace(m, symmetric=symmetric)
+        if cache_path:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = cache_path + ".tmp.npz"
+            np.savez_compressed(
+                tmp, tri_verts=m.tri_verts, tri_colors=m.tri_colors,
+                pre=m.preprocessing_transform,
+                full_tri_verts=m.full_tri_verts,
+                num_original=m.num_original_triangles,
+                cullable=m.backface_cullable)
+            os.replace(tmp, cache_path)
+        out.append(m)
     return out

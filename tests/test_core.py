@@ -151,6 +151,92 @@ def test_decimation_reduces_and_preserves_bbox(rng):
     assert np.allclose(np.abs(dv).max(), 1.0, atol=0.2)
 
 
+def _icosphere(subdiv=3, radius=0.05):
+    t = (1 + 5 ** 0.5) / 2
+    v = np.array([[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+                  [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+                  [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], float)
+    f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+                  [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+                  [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+                  [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]])
+    for _ in range(subdiv):
+        mids, verts, out = {}, list(v), []
+
+        def mid(a, b):
+            k = (min(a, b), max(a, b))
+            if k not in mids:
+                mids[k] = len(verts)
+                verts.append((verts[a] + verts[b]) / 2)
+            return mids[k]
+
+        for (a, b, c) in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            out += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        v, f = np.asarray(verts, float), np.asarray(out)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True) * radius
+    return v, f
+
+
+def test_decimate_qem_budget_fidelity_watertight():
+    """QEM hits the face budget, keeps the surface far closer than
+    clustering at the same budget, and preserves watertightness."""
+    v, f = _icosphere(3)          # 1280 faces on a 5 cm sphere
+    colors = np.tile([200, 30, 30], (len(v), 1)).astype(float)
+    qv, qf, qc = mesh_lib.decimate_qem(v, f, colors, 256)
+    assert len(qf) <= 256
+    assert qc.shape == (len(qv), 3) and qc.dtype == np.uint8
+    cv, cf, _ = mesh_lib.decimate_vertex_clustering(v, f, colors, 256)
+    # Radial error of surviving vertices against the true sphere. (A
+    # weak lower bound on the fidelity gap: QEM's optimal points sit
+    # deliberately slightly off-sphere to minimise plane distance; the
+    # surface-sampled error gap measured on the hires zoo is ~20-45x,
+    # see ARCHITECTURE.md.)
+    q_err = np.abs(np.linalg.norm(qv, axis=1) - 0.05).mean()
+    c_err = np.abs(np.linalg.norm(cv, axis=1) - 0.05).mean()
+    assert q_err < c_err and q_err < 1e-3
+    # Closed input stays closed and outward-consistent.
+    cullable, _ = mesh_lib.analyze_winding(qv, qf)
+    assert cullable
+
+
+def test_decimate_qem_preserves_open_boundary():
+    """Boundary constraint quadrics hold an open rim in place (mug/bowl
+    rims must not shrink inward)."""
+    ang = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    rows = []
+    for z in np.linspace(0, 0.08, 9):
+        rows.append(np.c_[0.04 * np.cos(ang), 0.04 * np.sin(ang),
+                          np.full(64, z)])
+    v = np.vstack(rows)
+    f = []
+    for i in range(8):
+        a0, b0 = i * 64, (i + 1) * 64
+        for j in range(64):
+            jn = (j + 1) % 64
+            f += [[a0 + j, a0 + jn, b0 + j], [a0 + jn, b0 + jn, b0 + j]]
+    f = np.asarray(f)                        # open cylinder, 1024 faces
+    qv, qf, _ = mesh_lib.decimate_qem(v, f, None, 256)
+    assert len(qf) <= 256
+    # All surviving vertices stay on the r=0.04 shell (no rim collapse).
+    r = np.linalg.norm(qv[:, :2], axis=1)
+    assert np.abs(r - 0.04).max() < 2e-3
+    zr = qv[:, 2]
+    assert zr.min() > -1e-6 and zr.max() < 0.08 + 1e-6
+
+
+def test_decimate_dispatcher_env(monkeypatch):
+    v, f = _icosphere(2)                     # 320 faces
+    monkeypatch.setenv("PT_DECIMATE", "qem")
+    qv, qf, _ = mesh_lib.decimate(v, f, None, 80)
+    monkeypatch.setenv("PT_DECIMATE", "cluster")
+    cv, cf, _ = mesh_lib.decimate(v, f, None, 80)
+    assert len(qf) <= 80 and len(cf) <= 80
+    q_err = np.abs(np.linalg.norm(qv, axis=1) - 0.05).mean()
+    c_err = np.abs(np.linalg.norm(cv, axis=1) - 0.05).mean()
+    assert q_err < c_err
+
+
 def test_ply_roundtrip(tmp_path):
     verts, faces = make_box()
     colors = np.tile([200, 100, 50], (len(verts), 1)).astype(np.uint8)
