@@ -19,7 +19,9 @@ import time
 
 def main() -> None:
     os.environ.setdefault("PT_COMPILATION_CACHE", "0")
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.dirname(here))   # repo root (perception_tpu)
+    sys.path.insert(0, here)                    # sibling bench_scene import
     from bench_scene import build_bench_problem
 
     from perception_tpu.pipeline.scorer import score_pose_batch
