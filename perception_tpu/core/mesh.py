@@ -507,6 +507,13 @@ def decimate(
     override PT_DECIMATE)."""
     mode = mode or os.environ.get("PT_DECIMATE", "cluster")
     if mode == "qem":
+        if len(faces) > target_triangles:
+            try:
+                from perception_tpu.native.loader import decimate_qem_native
+                return decimate_qem_native(verts, faces, colors,
+                                           target_triangles)
+            except (RuntimeError, ImportError, OSError):
+                pass   # no toolchain / stale .so: Python implementation
         return decimate_qem(verts, faces, colors, target_triangles)
     return decimate_vertex_clustering(verts, faces, colors, target_triangles)
 

@@ -48,12 +48,74 @@ def _load_library():
         ]
         lib.pt_free.argtypes = [ctypes.c_void_p]
         lib.pt_last_error.restype = ctypes.c_char_p
+        if hasattr(lib, "pt_decimate_qem"):   # absent in stale builds
+            lib.pt_decimate_qem.restype = ctypes.c_int
+            lib.pt_decimate_qem.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_int),
+            ]
         _lib = lib
         return _lib
 
 
 def native_available() -> bool:
     return _load_library() is not None
+
+
+def qem_available() -> bool:
+    lib = _load_library()
+    return lib is not None and hasattr(lib, "pt_decimate_qem")
+
+
+def decimate_qem_native(verts, faces, colors, target_faces: int):
+    """QEM decimation via the C++ implementation (~100x the Python one).
+
+    verts [V,3] f64, faces [F,3] i64, colors [V,3] u8|None ->
+    (verts, faces, colors|None). Raises RuntimeError when unavailable.
+    """
+    lib = _load_library()
+    if lib is None or not hasattr(lib, "pt_decimate_qem"):
+        raise RuntimeError("native QEM unavailable")
+    verts = np.ascontiguousarray(verts, np.float64)
+    faces = np.ascontiguousarray(faces, np.int64)
+    cols = (np.ascontiguousarray(np.clip(colors, 0, 255), np.uint8)
+            if colors is not None else None)
+
+    out_v = ctypes.POINTER(ctypes.c_double)()
+    out_f = ctypes.POINTER(ctypes.c_int64)()
+    out_c = ctypes.POINTER(ctypes.c_uint8)()
+    n_v = ctypes.c_long()
+    n_f = ctypes.c_long()
+    has_c = ctypes.c_int()
+    rc = lib.pt_decimate_qem(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(verts),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(faces),
+        (cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+         if cols is not None else None),
+        target_faces,
+        ctypes.byref(out_v), ctypes.byref(n_v),
+        ctypes.byref(out_f), ctypes.byref(n_f),
+        ctypes.byref(out_c), ctypes.byref(has_c))
+    if rc != 0:
+        raise RuntimeError("native QEM decimation failed")
+    try:
+        dv = np.ctypeslib.as_array(out_v, shape=(n_v.value, 3)).copy()
+        df = np.ctypeslib.as_array(out_f, shape=(n_f.value, 3)).copy()
+        dc = (np.ctypeslib.as_array(out_c, shape=(n_v.value, 3)).copy()
+              if has_c.value else None)
+    finally:
+        lib.pt_free(out_v)
+        lib.pt_free(out_f)
+        if has_c.value:
+            lib.pt_free(out_c)
+    return dv, df, dc
 
 
 def load_mesh_native(path: str, target_faces: int = 0):

@@ -19,8 +19,11 @@
 #include <cstring>
 #include <fstream>
 #include <map>
+#include <queue>
+#include <set>
 #include <sstream>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -342,6 +345,309 @@ void decimate(const std::vector<double> &verts,
   *out = std::move(best);
 }
 
+// Quadric-error-metric edge-collapse decimation (Garland-Heckbert),
+// mirroring core/mesh.py decimate_qem: area-weighted plane quadrics,
+// boundary constraint quadrics on open rims, normal-flip rejection, lazy
+// heap invalidation. ~100x the Python implementation's speed; exact
+// algorithmic parity is not required (both meet the face budget with
+// sub-0.1 mm surface error at zoo scales — see ARCHITECTURE.md).
+struct Quadric {
+  double q[16] = {0};
+  void add_plane(const double p[4], double w) {
+    for (int i = 0; i < 4; ++i)
+      for (int j = 0; j < 4; ++j) q[4 * i + j] += w * p[i] * p[j];
+  }
+  void add(const Quadric &o) {
+    for (int i = 0; i < 16; ++i) q[i] += o.q[i];
+  }
+  double eval(const double v[3]) const {
+    double h[4] = {v[0], v[1], v[2], 1.0};
+    double s = 0;
+    for (int i = 0; i < 4; ++i)
+      for (int j = 0; j < 4; ++j) s += h[i] * q[4 * i + j] * h[j];
+    return s;
+  }
+};
+
+void decimate_qem(const std::vector<double> &in_verts,
+                  const std::vector<int64_t> &in_faces,
+                  const std::vector<uint8_t> &in_colors, long target_faces,
+                  Mesh *out) {
+  long nf = (long)in_faces.size() / 3;
+  long nv = (long)in_verts.size() / 3;
+  if (nf <= target_faces) {
+    out->verts = in_verts;
+    out->faces = in_faces;
+    out->colors = in_colors;
+    return;
+  }
+  std::vector<double> pos(in_verts);
+  std::vector<Quadric> quad(nv);
+  std::vector<double> fnrm(3 * nf, 0.0);
+
+  auto cross = [](const double *a, const double *b, double *o) {
+    o[0] = a[1] * b[2] - a[2] * b[1];
+    o[1] = a[2] * b[0] - a[0] * b[2];
+    o[2] = a[0] * b[1] - a[1] * b[0];
+  };
+
+  std::vector<char> face_ok(nf, 1);
+  for (long f = 0; f < nf; ++f) {
+    const double *a = &pos[3 * in_faces[3 * f]];
+    const double *b = &pos[3 * in_faces[3 * f + 1]];
+    const double *c = &pos[3 * in_faces[3 * f + 2]];
+    double ab[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+    double ac[3] = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+    double n[3];
+    cross(ab, ac, n);
+    double area2 = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
+    if (area2 < 1e-18) {
+      face_ok[f] = 0;
+      continue;
+    }
+    double inv = 1.0 / area2;
+    for (int d = 0; d < 3; ++d) fnrm[3 * f + d] = n[d] * inv;
+    double p[4] = {fnrm[3 * f], fnrm[3 * f + 1], fnrm[3 * f + 2],
+                   -(fnrm[3 * f] * a[0] + fnrm[3 * f + 1] * a[1] +
+                     fnrm[3 * f + 2] * a[2])};
+    for (int c3 = 0; c3 < 3; ++c3)
+      quad[in_faces[3 * f + c3]].add_plane(p, area2);
+  }
+
+  // Boundary constraint quadrics (edges with no reverse twin).
+  {
+    std::set<std::pair<long, long>> directed;
+    for (long f = 0; f < nf; ++f)
+      for (int e = 0; e < 3; ++e)
+        directed.emplace(in_faces[3 * f + e], in_faces[3 * f + (e + 1) % 3]);
+    for (long f = 0; f < nf; ++f) {
+      if (!face_ok[f]) continue;
+      for (int e = 0; e < 3; ++e) {
+        long a = in_faces[3 * f + e], b = in_faces[3 * f + (e + 1) % 3];
+        if (directed.count({b, a})) continue;   // has a twin: interior
+        double ev[3] = {pos[3 * b] - pos[3 * a], pos[3 * b + 1] - pos[3 * a + 1],
+                        pos[3 * b + 2] - pos[3 * a + 2]};
+        double cn[3];
+        cross(ev, &fnrm[3 * f], cn);
+        double ln = std::sqrt(cn[0] * cn[0] + cn[1] * cn[1] + cn[2] * cn[2]);
+        if (ln < 1e-18) continue;
+        for (int d = 0; d < 3; ++d) cn[d] /= ln;
+        double p[4] = {cn[0], cn[1], cn[2],
+                       -(cn[0] * pos[3 * a] + cn[1] * pos[3 * a + 1] +
+                         cn[2] * pos[3 * a + 2])};
+        double w = (ev[0] * ev[0] + ev[1] * ev[1] + ev[2] * ev[2]) * 100.0;
+        quad[a].add_plane(p, w);
+        quad[b].add_plane(p, w);
+      }
+    }
+  }
+
+  bool has_color = !in_colors.empty();
+  std::vector<double> vcol(has_color ? 3 * nv : 0);
+  std::vector<double> vweight(nv, 1.0);
+  for (long i = 0; i < (long)vcol.size(); ++i) vcol[i] = in_colors[i];
+
+  std::vector<std::set<long>> vfaces(nv);
+  std::vector<int64_t> fvert(in_faces);
+  for (long f = 0; f < nf; ++f)
+    if (face_ok[f])
+      for (int c3 = 0; c3 < 3; ++c3) vfaces[fvert[3 * f + c3]].insert(f);
+  std::vector<char> alive_f(face_ok);
+  std::vector<char> alive_v(nv, 1);
+  std::vector<long> version(nv, 0);
+  long n_alive = 0;
+  for (long f = 0; f < nf; ++f) n_alive += alive_f[f];
+
+  // Optimal contraction point + cost for an edge's merged quadric.
+  auto edge_cost = [&](long a, long b, double vbar[3]) {
+    Quadric q = quad[a];
+    q.add(quad[b]);
+    const double *m = q.q;
+    double det = m[0] * (m[5] * m[10] - m[6] * m[9]) -
+                 m[1] * (m[4] * m[10] - m[6] * m[8]) +
+                 m[2] * (m[4] * m[9] - m[5] * m[8]);
+    double scale = m[0] + m[5] + m[10] + 1e-30;
+    double best = 1e300;
+    double cands[4][3];
+    int nc = 0;
+    if (std::fabs(det) > 1e-12 * scale * scale * scale) {
+      double bx = -m[3], by = -m[7], bz = -m[11];
+      // Cramer's rule on the symmetric 3x3 block.
+      double inv = 1.0 / det;
+      cands[nc][0] = inv * (bx * (m[5] * m[10] - m[6] * m[9]) -
+                            m[1] * (by * m[10] - m[6] * bz) +
+                            m[2] * (by * m[9] - m[5] * bz));
+      cands[nc][1] = inv * (m[0] * (by * m[10] - m[6] * bz) -
+                            bx * (m[4] * m[10] - m[6] * m[8]) +
+                            m[2] * (m[4] * bz - by * m[8]));
+      cands[nc][2] = inv * (m[0] * (m[5] * bz - by * m[9]) -
+                            m[1] * (m[4] * bz - by * m[8]) +
+                            bx * (m[4] * m[9] - m[5] * m[8]));
+      ++nc;
+    }
+    for (int d = 0; d < 3; ++d)
+      cands[nc][d] = 0.5 * (pos[3 * a + d] + pos[3 * b + d]);
+    ++nc;
+    for (int d = 0; d < 3; ++d) cands[nc][d] = pos[3 * a + d];
+    ++nc;
+    for (int d = 0; d < 3; ++d) cands[nc][d] = pos[3 * b + d];
+    ++nc;
+    for (int i = 0; i < nc; ++i) {
+      double c = q.eval(cands[i]);
+      if (c < best) {
+        best = c;
+        for (int d = 0; d < 3; ++d) vbar[d] = cands[i][d];
+      }
+    }
+    return best;
+  };
+
+  struct Entry {
+    double cost;
+    long a, b, va, vb;
+    bool operator>(const Entry &o) const {
+      if (cost != o.cost) return cost > o.cost;
+      if (a != o.a) return a > o.a;
+      return b > o.b;
+    }
+  };
+  std::priority_queue<Entry, std::vector<Entry>, std::greater<Entry>> heap;
+  {
+    std::set<std::pair<long, long>> pushed;
+    for (long f = 0; f < nf; ++f) {
+      if (!alive_f[f]) continue;
+      for (int e = 0; e < 3; ++e) {
+        long a = fvert[3 * f + e], b = fvert[3 * f + (e + 1) % 3];
+        if (a > b) std::swap(a, b);
+        if (!pushed.emplace(a, b).second) continue;
+        double vbar[3];
+        heap.push({edge_cost(a, b, vbar), a, b, 0, 0});
+      }
+    }
+  }
+
+  while (n_alive > target_faces && !heap.empty()) {
+    Entry e = heap.top();
+    heap.pop();
+    long a = e.a, b = e.b;
+    if (!alive_v[a] || !alive_v[b] || version[a] != e.va ||
+        version[b] != e.vb)
+      continue;
+    double vbar[3];
+    edge_cost(a, b, vbar);
+    // Shared faces = the faces the collapse removes.
+    std::vector<long> shared;
+    for (long f : vfaces[a])
+      if (vfaces[b].count(f)) shared.push_back(f);
+    if (shared.empty()) continue;
+    // Reject if any surviving incident face flips.
+    bool flip = false;
+    for (const auto &vset : {vfaces[a], vfaces[b]}) {
+      for (long f : vset) {
+        if (!alive_f[f]) continue;
+        if (std::find(shared.begin(), shared.end(), f) != shared.end())
+          continue;
+        double oldv[3][3], newv[3][3];
+        for (int c3 = 0; c3 < 3; ++c3) {
+          long v = fvert[3 * f + c3];
+          for (int d = 0; d < 3; ++d) {
+            oldv[c3][d] = pos[3 * v + d];
+            newv[c3][d] = (v == a || v == b) ? vbar[d] : pos[3 * v + d];
+          }
+        }
+        double oab[3] = {oldv[1][0] - oldv[0][0], oldv[1][1] - oldv[0][1],
+                         oldv[1][2] - oldv[0][2]};
+        double oac[3] = {oldv[2][0] - oldv[0][0], oldv[2][1] - oldv[0][1],
+                         oldv[2][2] - oldv[0][2]};
+        double nab[3] = {newv[1][0] - newv[0][0], newv[1][1] - newv[0][1],
+                         newv[1][2] - newv[0][2]};
+        double nac[3] = {newv[2][0] - newv[0][0], newv[2][1] - newv[0][1],
+                         newv[2][2] - newv[0][2]};
+        double on[3], nn[3];
+        cross(oab, oac, on);
+        cross(nab, nac, nn);
+        if (on[0] * nn[0] + on[1] * nn[1] + on[2] * nn[2] <= 0) {
+          flip = true;
+          break;
+        }
+      }
+      if (flip) break;
+    }
+    if (flip) continue;
+    // Merge b into a at vbar.
+    for (int d = 0; d < 3; ++d) pos[3 * a + d] = vbar[d];
+    quad[a].add(quad[b]);
+    if (has_color) {
+      double wa = vweight[a], wb = vweight[b];
+      for (int d = 0; d < 3; ++d)
+        vcol[3 * a + d] =
+            (wa * vcol[3 * a + d] + wb * vcol[3 * b + d]) / (wa + wb);
+      vweight[a] = wa + wb;
+    }
+    alive_v[b] = 0;
+    for (long f : shared) {
+      if (alive_f[f]) {
+        alive_f[f] = 0;
+        --n_alive;
+      }
+      for (int c3 = 0; c3 < 3; ++c3) vfaces[fvert[3 * f + c3]].erase(f);
+    }
+    for (long f : std::vector<long>(vfaces[b].begin(), vfaces[b].end())) {
+      for (int c3 = 0; c3 < 3; ++c3)
+        if (fvert[3 * f + c3] == b) fvert[3 * f + c3] = a;
+      vfaces[a].insert(f);
+    }
+    vfaces[b].clear();
+    ++version[a];
+    ++version[b];
+    std::set<long> nbrs;
+    for (long f : vfaces[a]) {
+      if (!alive_f[f]) continue;
+      for (int c3 = 0; c3 < 3; ++c3) {
+        long v = fvert[3 * f + c3];
+        if (v != a) nbrs.insert(v);
+      }
+    }
+    for (long b2 : nbrs) {
+      long ea = a, eb = b2;
+      if (ea > eb) std::swap(ea, eb);
+      double vbar2[3];
+      heap.push({edge_cost(ea, eb, vbar2), ea, eb, version[ea], version[eb]});
+    }
+  }
+
+  // Compact output, dropping degenerates.
+  std::vector<long> remap(nv, -1);
+  out->verts.clear();
+  out->faces.clear();
+  out->colors.clear();
+  long next = 0;
+  for (long f = 0; f < nf; ++f) {
+    if (!alive_f[f]) continue;
+    long a = fvert[3 * f], b = fvert[3 * f + 1], c = fvert[3 * f + 2];
+    if (a == b || b == c || a == c) continue;
+    for (long v : {a, b, c}) {
+      if (remap[v] < 0) {
+        remap[v] = next++;
+        for (int d = 0; d < 3; ++d) out->verts.push_back(pos[3 * v + d]);
+        if (has_color)
+          for (int d = 0; d < 3; ++d) {
+            double cv = vcol[3 * v + d];
+            out->colors.push_back(
+                (uint8_t)std::min(255.0, std::max(0.0, cv)));
+          }
+      }
+      out->faces.push_back(remap[v]);
+    }
+  }
+  if ((long)out->faces.size() / 3 > target_faces) {
+    // Heap exhausted above target: clustering finishes the remainder
+    // (matches the Python fallback).
+    Mesh tmp = std::move(*out);
+    decimate(tmp.verts, tmp.faces, tmp.colors, target_faces, out);
+  }
+}
+
 std::string g_error;
 
 }  // namespace
@@ -383,6 +689,37 @@ int pt_load_mesh(const char *path, long target_faces,
     memcpy(*colors, result.colors.data(), result.colors.size());
   } else {
     *colors = nullptr;
+  }
+  return 0;
+}
+
+// Standalone QEM decimation of an in-memory mesh (colors may be null).
+// Returns 0 on success; arrays are malloc'd, caller frees via pt_free.
+int pt_decimate_qem(const double *verts, long n_verts, const int64_t *faces,
+                    long n_faces, const uint8_t *colors, long target_faces,
+                    double **out_verts, long *out_n_verts,
+                    int64_t **out_faces, long *out_n_faces,
+                    uint8_t **out_colors, int *out_has_colors) {
+  std::vector<double> v(verts, verts + 3 * n_verts);
+  std::vector<int64_t> f(faces, faces + 3 * n_faces);
+  std::vector<uint8_t> c;
+  if (colors) c.assign(colors, colors + 3 * n_verts);
+  Mesh result;
+  decimate_qem(v, f, c, target_faces, &result);
+  *out_n_verts = result.verts.size() / 3;
+  *out_n_faces = result.faces.size() / 3;
+  *out_verts = (double *)malloc(result.verts.size() * sizeof(double));
+  memcpy(*out_verts, result.verts.data(),
+         result.verts.size() * sizeof(double));
+  *out_faces = (int64_t *)malloc(result.faces.size() * sizeof(int64_t));
+  memcpy(*out_faces, result.faces.data(),
+         result.faces.size() * sizeof(int64_t));
+  *out_has_colors = result.colors.empty() ? 0 : 1;
+  if (*out_has_colors) {
+    *out_colors = (uint8_t *)malloc(result.colors.size());
+    memcpy(*out_colors, result.colors.data(), result.colors.size());
+  } else {
+    *out_colors = nullptr;
   }
   return 0;
 }

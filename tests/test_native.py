@@ -82,6 +82,33 @@ def test_native_decimation(tmp_path, rng):
     assert np.abs(nv).max() <= 1.01
 
 
+def test_native_qem_matches_python_fidelity():
+    """C++ QEM hits the face budget with the same surface fidelity class
+    as the Python implementation (exact parity not required: tie-breaks
+    in the collapse order may differ)."""
+    from perception_tpu.core.mesh import decimate_qem
+    from perception_tpu.native.loader import decimate_qem_native, qem_available
+
+    if not qem_available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    from tests.test_core import _icosphere
+
+    v, f = _icosphere(3)          # 1280 faces on a 5 cm sphere
+    colors = np.tile([120, 200, 30], (len(v), 1)).astype(np.uint8)
+    nv2, nf2, nc2 = decimate_qem_native(v, f, colors, 256)
+    pv, pf, _ = decimate_qem(v, f, colors.astype(float), 256)
+    assert len(nf2) <= 256 and len(pf) <= 256
+    assert nc2.shape == (len(nv2), 3) and nc2.dtype == np.uint8
+    n_err = np.abs(np.linalg.norm(nv2, axis=1) - 0.05).mean()
+    p_err = np.abs(np.linalg.norm(pv, axis=1) - 0.05).mean()
+    assert n_err < 1e-3 and abs(n_err - p_err) < 5e-4
+    # Watertight input stays watertight.
+    from perception_tpu.core.mesh import analyze_winding
+    cullable, _ = analyze_winding(nv2, nf2)
+    assert cullable
+
+
 def test_native_speed_on_large_mesh(tmp_path, rng):
     n = 60000
     pts = rng.normal(size=(n, 3)).astype(np.float32)
