@@ -28,7 +28,10 @@ _CACHE_VERSION = 1
 def _cache_key(path: str, kwargs: dict) -> str:
     st = os.stat(path)
     payload = repr((os.path.abspath(path), st.st_size, int(st.st_mtime),
-                    sorted(kwargs.items()), _CACHE_VERSION))
+                    sorted(kwargs.items()), _CACHE_VERSION,
+                    # The decimator is env-selected (PT_DECIMATE); a QEM
+                    # model must not be served from a clustering entry.
+                    os.environ.get("PT_DECIMATE", "cluster")))
     return hashlib.sha256(payload.encode()).hexdigest()[:24]
 
 
