@@ -18,6 +18,17 @@ import numpy as np
 
 
 def load(path: str) -> dict:
+    if path.startswith("ladder:"):
+        # A rung from benchmarks/accuracy_ladder.json, e.g. "ladder:default"
+        # or "ladder:hires_qem" — entries store scene_errors since round 3.
+        import os
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "accuracy_ladder.json")) as f:
+            table = json.load(f)
+        name = path.split(":", 1)[1]
+        if name not in table:
+            raise SystemExit(f"no ladder rung {name!r}")
+        return table[name]
     with open(path) as f:
         lines = [ln for ln in f if ln.startswith("{")]
     if not lines:
