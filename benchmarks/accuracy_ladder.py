@@ -79,6 +79,8 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
                          {"PT_DECIMATE": "qem", "PT_RENDER_LOD": "512"}),
     "hires_qem_lod256": (["--models=zoo_hires"],
                          {"PT_DECIMATE": "qem", "PT_RENDER_LOD": "256"}),
+    "hires_qem_lod128": (["--models=zoo_hires"],
+                         {"PT_DECIMATE": "qem", "PT_RENDER_LOD": "128"}),
     "hires_cluster_lod512": (["--models=zoo_hires"],
                              {"PT_DECIMATE": "cluster",
                               "PT_RENDER_LOD": "512"}),
