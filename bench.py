@@ -23,10 +23,81 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import subprocess
 import sys
 import time
 
 BASELINE_POSES_PER_SEC = 100_000.0
+
+
+def _cpu_ticks(pid: int) -> int:
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().split()
+        return int(parts[13]) + int(parts[14])
+    except Exception:
+        return -1
+
+
+def supervised_main() -> None:
+    """Run the bench in a supervised child process, retrying tunnel flakes.
+
+    The axon tunnel intermittently (a) hangs a fresh process forever in
+    device acquisition (signature: no output AND ~zero CPU accumulation)
+    and (b) kills a process silently with no traceback (observed round 3).
+    The driver invokes bench.py exactly once, so the retry loop must live
+    here. A healthy-but-slow cold compile burns CPU continuously and is
+    left alone for up to 20 minutes.
+    """
+    for attempt in range(5):
+        env = dict(os.environ, PT_BENCH_CHILD="1")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        os.set_blocking(proc.stdout.fileno(), False)
+        buf = ""
+        t0 = time.time()
+        hang = False
+        while proc.poll() is None:
+            time.sleep(5)
+            try:
+                buf += proc.stdout.read() or ""
+            except Exception:
+                pass
+            elapsed = time.time() - t0
+            real = [ln for ln in buf.splitlines() if ln.strip()
+                    and "WARNING" not in ln]
+            if not real:
+                ticks = _cpu_ticks(proc.pid)
+                if elapsed > 150 and 0 <= ticks < 500:
+                    hang = True       # acquisition hang: idle AND silent
+                elif elapsed > 1200:
+                    hang = True       # hard cap even if burning CPU
+                if hang:
+                    proc.kill()
+                    proc.wait()
+                    print(f"bench supervisor: attempt {attempt + 1} "
+                          f"stalled ({elapsed:.0f}s, {ticks} ticks); "
+                          "retrying", file=sys.stderr, flush=True)
+                    break
+        if not hang:
+            proc.wait()
+            try:
+                buf += proc.stdout.read() or ""
+            except Exception:
+                pass
+            json_lines = [ln for ln in buf.splitlines()
+                          if ln.startswith("{")]
+            if json_lines:
+                print(json_lines[-1], flush=True)
+                return
+            print(f"bench supervisor: attempt {attempt + 1} exited "
+                  f"rc={proc.returncode} without a result "
+                  f"(tail: {buf[-300:]!r}); retrying",
+                  file=sys.stderr, flush=True)
+        time.sleep(20)
+    print("bench supervisor: no successful attempt", file=sys.stderr)
+    raise SystemExit(1)
 
 
 def main() -> None:
@@ -100,4 +171,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("PT_BENCH_CHILD") == "1":
+        main()
+    else:
+        supervised_main()
