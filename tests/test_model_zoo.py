@@ -24,6 +24,31 @@ def test_zoo_builds_all(zoo):
         assert (ext > 0.02).all() and (ext < 0.26).all(), (m.name, ext)
 
 
+def test_zoo_hires_decimated(tmp_path, monkeypatch):
+    """resolution>1 + target_triangles: hires generation, decimation via
+    the configured decimator, npz caching, metrics on the UNDECIMATED
+    surface."""
+    monkeypatch.setenv("HOME", str(tmp_path))   # fresh cache dir
+    monkeypatch.setenv("PT_DECIMATE", "qem")
+    models = build_zoo_models(["mug", "soup_can"], resolution=2.0,
+                              target_triangles=256,
+                              use_external_pose_list=True)
+    for m in models:
+        assert m.num_triangles <= 256
+        assert m.num_original_triangles > 256          # genuinely hires
+        assert len(m.full_tri_verts) == m.num_original_triangles
+        ext = m.tri_verts.reshape(-1, 3).max(0) - \
+            m.tri_verts.reshape(-1, 3).min(0)
+        assert (ext > 0.02).all() and (ext < 0.26).all()
+    # Second build hits the cache and reproduces the same arrays.
+    again = build_zoo_models(["mug", "soup_can"], resolution=2.0,
+                             target_triangles=256,
+                             use_external_pose_list=True)
+    for a, b in zip(models, again):
+        np.testing.assert_array_equal(a.tri_verts, b.tri_verts)
+        assert a.symmetric == b.symmetric
+
+
 def test_zoo_nonconvex_and_textured(zoo):
     by_name = {m.name: m for m in zoo}
     # Closed shapes get exact backface culling; the open-top mug cannot.
