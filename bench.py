@@ -2,10 +2,12 @@
 
 Runs the full unified pipeline (render -> cloud -> NN-ICP refine ->
 transform+augment -> 1-NN -> cost) on a realistic rendered scene at YCB
-scale:
-640x480 at stride 8, ~1k-triangle models, 3-object scene with genuine
+image scale: 640x480 at stride 8, 3-object scene with genuine
 occlusion/segment structure, candidates perturbed around ground truth so
-refinement behaves as in real greedy recognition (benchmarks/bench_scene).
+refinement behaves as in real greedy recognition (benchmarks/bench_scene;
+BENCH_MODELS=blob ~170-triangle hulls in a 1024-padded bank, or
+bumpy1024 for genuinely ~1024-triangle models — the YCB decimation
+budget; the config string reports live/cap triangle counts).
 
 Baseline (BASELINE.md): reference PERCH 2.0 scores ~5k candidate poses per
 ~1 s scene on an NVidia GPU; the north-star target is 100k poses/s on one
@@ -160,6 +162,9 @@ def main() -> None:
         "compile_seconds": round(compile_time, 1),
         "device": str(jax.devices()[0]),
         "config": (f"real-scene 640x480 s8 "
+                   f"models={os.environ.get('BENCH_MODELS', 'blob')}:"
+                   f"T{int(env._render_bank[2].sum(axis=1).max())}"
+                   f"/{env._render_bank[2].shape[1]}cap "
                    f"lod={env.env.render_lod or 'full'} roi32 icp_fused "
                    f"pallas_direct nn_every={cfg.icp_nn_every} "
                    f"icp_crop={cfg.icp_crop_targets} "

@@ -1,5 +1,14 @@
 """Realistic benchmark problem: a rendered multi-object scene + candidate
-perturbations, at YCB scale (640x480, ~1k-triangle models).
+perturbations at YCB image scale (640x480).
+
+Model geometry (BENCH_MODELS env):
+  blob       (default) ~160-185-triangle convex hulls, bank PADDED to
+             t_cap=1024 — chunk culling skips most padding cheaply, so
+             the raster's real work tracks the ~170 live triangles.
+  bumpy1024  genuinely ~1024-triangle non-convex models (perturbed
+             icospheres QEM-decimated to the cap) — matches the triangle
+             budget a YCB mesh decimates to at load time, i.e. the
+             honest YCB-scale raster workload.
 
 Shared by bench.py (throughput) so the measured pipeline behaves like real
 greedy recognition: candidates overlap the observed object, ICP converges,
@@ -21,6 +30,45 @@ def convex_blob(rng, radius=0.06, n_pts=600):
     return pts, hull.simplices
 
 
+def bumpy_blob(rng, radius=0.06, target=1024):
+    """Non-convex ~target-triangle model: icosphere + smooth radial bumps,
+    decimated to the cap through the configured decimator (PT_DECIMATE)."""
+    from perception_tpu.core.mesh import decimate
+
+    t = (1 + 5 ** 0.5) / 2
+    v = np.array([[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+                  [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+                  [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], float)
+    f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+                  [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+                  [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+                  [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]])
+    for _ in range(4):                       # 20 -> 5120 faces
+        mids, verts, out = {}, list(v), []
+
+        def mid(a, b):
+            k = (min(a, b), max(a, b))
+            if k not in mids:
+                mids[k] = len(verts)
+                verts.append((verts[a] + verts[b]) / 2)
+            return mids[k]
+
+        for (a, b, c) in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            out += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        v, f = np.asarray(verts, float), np.asarray(out)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    # Smooth low-order radial field: non-convex lobes, still star-shaped
+    # (no self-intersections).
+    freq = rng.uniform(1.5, 3.5, (3, 3))
+    phase = rng.uniform(0, 2 * np.pi, 3)
+    r = 1.0 + 0.22 * np.sum(
+        [np.sin(v @ freq[i] + phase[i]) for i in range(3)], axis=0) / 3
+    v = v * (radius * r[:, None])
+    dv, df, _ = decimate(v, f, None, target)
+    return dv, df
+
+
 def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
                         stride=8, seed=0):
     """Returns (env, candidate ObjectStates, scorer args tuple, cfg)."""
@@ -36,14 +84,19 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
     rng = np.random.default_rng(seed)
     cam = CameraIntrinsics(fx=1066.778, fy=1067.487, cx=312.9869,
                            cy=241.3109, width=width, height=height)
+    import os as _os
+
     models = []
+    model_kind = _os.environ.get("BENCH_MODELS", "blob")
     for i in range(4):
-        v, f = convex_blob(rng, radius=0.05 + 0.015 * i)
+        if model_kind == "bumpy1024":
+            v, f = bumpy_blob(rng, radius=0.05 + 0.015 * i, target=t_cap)
+        else:
+            v, f = convex_blob(rng, radius=0.05 + 0.015 * i)
         colors = rng.uniform(40, 220, (len(v), 3))
         models.append(mesh_model_from_arrays(
             f"blob{i}", v, f, colors=colors, use_external_pose_list=True))
     bank = ModelBank.from_models(models, t_cap=t_cap)
-    import os as _os
 
     perch = PerchConfig(gpu_stride=stride, gpu_batch_size=n_poses,
                         sensor_resolution=0.01,
