@@ -98,7 +98,14 @@ def supervised_main() -> None:
                   f"(tail: {buf[-300:]!r}); retrying",
                   file=sys.stderr, flush=True)
         time.sleep(20)
-    print("bench supervisor: no successful attempt", file=sys.stderr)
+    # Exhausted: report the outage explicitly (a parseable record beats a
+    # bare failure — the round-3 axon tunnel outage hung every fresh
+    # process in device acquisition for hours).
+    print(json.dumps({
+        "metric": "candidate_poses_rendered_scored_per_sec",
+        "value": 0, "unit": "poses/s", "vs_baseline": 0.0,
+        "error": "TPU unavailable: all 5 attempts hung in device "
+                 "acquisition (axon tunnel outage)"}), flush=True)
     raise SystemExit(1)
 
 
