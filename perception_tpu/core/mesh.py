@@ -355,15 +355,19 @@ def decimate_qem(
     for c in range(3):
         np.add.at(quad, faces[:, c], kf)
 
-    # Boundary constraint quadrics: for each edge with no reverse twin,
-    # a plane through the edge perpendicular to its face, weighted by the
-    # squared edge length (keeps open rims in place).
+    # Boundary constraint quadrics: for each edge incident to exactly ONE
+    # face, a plane through the edge perpendicular to its face, weighted
+    # by the squared edge length (keeps open rims in place). Incidence is
+    # counted on UNDIRECTED edges — a reverse-twin test would misclassify
+    # every edge of an inconsistently-wound mesh (e.g. scipy ConvexHull
+    # output) as boundary and shrink it under bogus constraints.
     e_all = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
                             faces[:, [2, 0]]])
     e_face = np.tile(np.arange(len(faces)), 3)
-    key = e_all[:, 0] * (nv + 1) + e_all[:, 1]
-    rev = e_all[:, 1] * (nv + 1) + e_all[:, 0]
-    boundary = ~np.isin(rev, key)
+    und = np.sort(e_all, axis=1)
+    key_u = und[:, 0] * (nv + 1) + und[:, 1]
+    uniq, counts = np.unique(key_u, return_counts=True)
+    boundary = np.isin(key_u, uniq[counts == 1])
     for (a, b), fi in zip(e_all[boundary], e_face[boundary]):
         ev = pos[b] - pos[a]
         cn = np.cross(ev, nrm[fi])
@@ -503,9 +507,15 @@ def decimate(
     target_triangles: int,
     mode: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
-    """Decimation dispatcher: mode = "qem" | "cluster" (default; env
-    override PT_DECIMATE)."""
-    mode = mode or os.environ.get("PT_DECIMATE", "cluster")
+    """Decimation dispatcher: mode = "qem" (default) | "cluster" (env
+    override PT_DECIMATE).
+
+    QEM became the default in round 3: 20-45x lower surface error at
+    equal triangle budgets on the hires zoo (0.02/0.05/0.10 mm mean at
+    1024/512/256 vs clustering's 0.90/1.57/2.20 mm), no paired AUC
+    regression (+0.55 [-4.6, +6.4] n.s., 30-scene hires zoo), and the
+    native implementation (pt_decimate_qem) costs ~20 ms/model."""
+    mode = mode or os.environ.get("PT_DECIMATE", "qem")
     if mode == "qem":
         if len(faces) > target_triangles:
             try:

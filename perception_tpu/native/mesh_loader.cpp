@@ -414,17 +414,25 @@ void decimate_qem(const std::vector<double> &in_verts,
       quad[in_faces[3 * f + c3]].add_plane(p, area2);
   }
 
-  // Boundary constraint quadrics (edges with no reverse twin).
+  // Boundary constraint quadrics: edges incident to exactly ONE face.
+  // Incidence counted on UNDIRECTED edges — a reverse-twin test would
+  // misclassify every edge of an inconsistently-wound mesh (e.g. a
+  // scipy ConvexHull triangulation) as boundary and shrink it under
+  // bogus constraints (matches core/mesh.py decimate_qem).
   {
-    std::set<std::pair<long, long>> directed;
+    std::map<std::pair<long, long>, int> incidence;
     for (long f = 0; f < nf; ++f)
-      for (int e = 0; e < 3; ++e)
-        directed.emplace(in_faces[3 * f + e], in_faces[3 * f + (e + 1) % 3]);
+      for (int e = 0; e < 3; ++e) {
+        long a = in_faces[3 * f + e], b = in_faces[3 * f + (e + 1) % 3];
+        if (a > b) std::swap(a, b);
+        ++incidence[{a, b}];
+      }
     for (long f = 0; f < nf; ++f) {
       if (!face_ok[f]) continue;
       for (int e = 0; e < 3; ++e) {
         long a = in_faces[3 * f + e], b = in_faces[3 * f + (e + 1) % 3];
-        if (directed.count({b, a})) continue;   // has a twin: interior
+        long ua = a < b ? a : b, ub = a < b ? b : a;
+        if (incidence[{ua, ub}] != 1) continue;   // interior/non-manifold
         double ev[3] = {pos[3 * b] - pos[3 * a], pos[3 * b + 1] - pos[3 * a + 1],
                         pos[3 * b + 2] - pos[3 * a + 2]};
         double cn[3];

@@ -225,6 +225,25 @@ def test_decimate_qem_preserves_open_boundary():
     assert zr.min() > -1e-6 and zr.max() < 0.08 + 1e-6
 
 
+def test_decimate_qem_inconsistent_winding():
+    """Closed meshes with inconsistent winding (e.g. scipy ConvexHull
+    simplices) must not be treated as all-boundary: the round-3 shrink
+    bug pulled a 6 cm sphere hull to 4.4 cm mean radius under bogus
+    rim constraints."""
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(400, 3))
+    pts = 0.06 * pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    from scipy.spatial import ConvexHull
+
+    faces = ConvexHull(pts).simplices          # inconsistent winding
+    cullable, _ = mesh_lib.analyze_winding(pts, faces)
+    assert not cullable                        # the premise of this test
+    qv, qf, _ = mesh_lib.decimate_qem(pts, faces, None, 199)
+    r = np.linalg.norm(qv, axis=1)
+    assert len(qf) <= 199
+    assert abs(r.mean() - 0.06) < 2e-3 and r.min() > 0.055
+
+
 def test_decimate_dispatcher_env(monkeypatch):
     v, f = _icosphere(2)                     # 320 faces
     monkeypatch.setenv("PT_DECIMATE", "qem")
