@@ -152,7 +152,7 @@ class EnvConfig:
                                               # earlier 12-scene -6.5 reading
                                               # was noise) — opt-in with the
                                               # other mild-negative knobs.
-    render_lod: int = 0                       # raster-bank triangle target
+    render_lod: int = 256                     # raster-bank triangle target
                                               # (0 = full t_cap). Strided
                                               # rasterisation samples the
                                               # surface at stride spacing,
@@ -161,7 +161,18 @@ class EnvConfig:
                                               # same sampled geometry with
                                               # proportionally fewer
                                               # (tri x pixel) coverage ops
-                                              # (mesh.py ModelBank.decimated)
+                                              # (mesh.py ModelBank.decimated).
+                                              # Default 256 since round 3:
+                                              # under the QEM decimator the
+                                              # LOD-256 surface is 0.10 mm
+                                              # from full (hires zoo) and
+                                              # paired AUC is neutral at 256
+                                              # AND 128 (-0.35 [-2.5, +1.9] /
+                                              # -0.04 [-3.1, +3.0], 30-scene
+                                              # hires zoo; round-2's -2.37 at
+                                              # lod128 was the CLUSTERING
+                                              # decimator). 0 restores the
+                                              # full bank.
     icp_crop_targets: int = 256               # per-pose target crop for the
                                               # fused/NN ICP sweep (0 = off)
     cost_crop_targets: int = 256              # cost-stage target prefix cap
