@@ -49,6 +49,11 @@ class FrameWatcher:
         self.url = url
         self.depth_factor = depth_factor
         self.poll_seconds = poll_seconds
+        # key -> frame-file stat snapshot at the poll its processing last
+        # failed; a failure is terminal only once the snapshot repeats
+        # (the producer is non-atomic: a half-written depth.png decodes
+        # to None and must be retried, not recorded as the frame's result).
+        self._failed_snapshot: dict[str, tuple] = {}
 
     # -- frame discovery ---------------------------------------------------
     def pending_keys(self) -> list[str]:
@@ -134,6 +139,17 @@ class FrameWatcher:
         except Exception:
             pass   # visualisation must never fail the frame
 
+    def _frame_snapshot(self, key: str) -> tuple:
+        snap = []
+        for suffix in ("depth.png", "color.png", "labels.png",
+                       "request.json"):
+            try:
+                st = os.stat(self._path(key, suffix))
+                snap.append((suffix, st.st_size, st.st_mtime_ns))
+            except OSError:
+                snap.append((suffix, None, None))
+        return tuple(snap)
+
     def scan_once(self) -> list[str]:
         done = []
         for key in self.pending_keys():
@@ -142,11 +158,22 @@ class FrameWatcher:
             except Exception as e:
                 # A malformed frame must not kill the loop (the reference's
                 # topic callback logs and waits for the next frame) — and
-                # must not retry hot: record the failure as the frame's
-                # result so it is marked processed.
+                # must not retry hot. But the producer is non-atomic: a
+                # frame picked up mid-write fails to decode and would be
+                # permanently recorded as failed even though the writer was
+                # about to finish. Gate on stability: only a frame whose
+                # files are byte-identical (size/mtime) across two failing
+                # polls is terminally recorded; otherwise retry next poll.
+                snap = self._frame_snapshot(key)
+                if self._failed_snapshot.get(key) != snap:
+                    self._failed_snapshot[key] = snap
+                    continue
+                self._failed_snapshot.pop(key, None)
                 with open(self._path(key, "detections.json"), "w") as f:
                     json.dump({"frame": key, "error": repr(e),
                                "detections": []}, f)
+            else:
+                self._failed_snapshot.pop(key, None)
             done.append(key)
         return done
 

@@ -500,6 +500,16 @@ def decimate_qem(
     return out_verts, out_faces, out_colors
 
 
+def decimate_mode(mode: str | None = None) -> str:
+    """The single resolver for the active decimator ("qem" | "cluster").
+
+    Every consumer of PT_DECIMATE (decimate() itself, the model .npz cache
+    key, the hires-zoo cache filename tag) must go through this so an
+    unset-env run and an explicit PT_DECIMATE=qem run hash identically and
+    never serve each other the wrong geometry."""
+    return mode or os.environ.get("PT_DECIMATE", "qem")
+
+
 def decimate(
     verts: np.ndarray,
     faces: np.ndarray,
@@ -515,7 +525,7 @@ def decimate(
     1024/512/256 vs clustering's 0.90/1.57/2.20 mm), no paired AUC
     regression (+0.55 [-4.6, +6.4] n.s., 30-scene hires zoo), and the
     native implementation (pt_decimate_qem) costs ~20 ms/model."""
-    mode = mode or os.environ.get("PT_DECIMATE", "qem")
+    mode = decimate_mode(mode)
     if mode == "qem":
         if len(faces) > target_triangles:
             try:

@@ -316,8 +316,12 @@ def build_zoo_models(names: list[str] | None = None,
     # QEM decimation of the hires shapes costs ~5 s/model in Python; the
     # generators are deterministic, so cache the finished MeshModel arrays
     # (ladder subprocesses rebuild the zoo on every run/retry).
-    mode = os.environ.get("PT_DECIMATE", "cluster")
-    cache_dir = (os.path.expanduser("~/.cache/perception_tpu/zoo_v1")
+    # zoo_v2: the tag comes from the same resolver decimate() uses; v1
+    # defaulted the tag to "cluster" while decimate() ran QEM, so default
+    # runs wrote QEM meshes into "-cluster-" files (advisor finding).
+    from perception_tpu.core.mesh import decimate_mode
+    mode = decimate_mode()
+    cache_dir = (os.path.expanduser("~/.cache/perception_tpu/zoo_v2")
                  if (resolution != 1.0 and target_triangles) else None)
 
     out = []

@@ -20,9 +20,13 @@ import os
 
 import numpy as np
 
-from perception_tpu.core.mesh import MeshModel, load_model
+from perception_tpu.core.mesh import MeshModel, decimate_mode, load_model
 
-_CACHE_VERSION = 1
+# v2: the decimator key component now comes from decimate_mode() (the same
+# resolver decimate() uses), fixing a default mismatch where an unset-env
+# run (QEM geometry) hashed as "cluster" and could serve/poison explicit
+# cluster entries. Bumped to invalidate anything written under v1's tag.
+_CACHE_VERSION = 2
 
 
 def _cache_key(path: str, kwargs: dict) -> str:
@@ -31,7 +35,7 @@ def _cache_key(path: str, kwargs: dict) -> str:
                     sorted(kwargs.items()), _CACHE_VERSION,
                     # The decimator is env-selected (PT_DECIMATE); a QEM
                     # model must not be served from a clustering entry.
-                    os.environ.get("PT_DECIMATE", "cluster")))
+                    decimate_mode()))
     return hashlib.sha256(payload.encode()).hexdigest()[:24]
 
 

@@ -424,8 +424,8 @@ def icp_gicp_batch(
     *,
     max_iterations: int = 30,
     max_correspondence: float = 0.05,
-    rotation_epsilon: float = 2e-3,
-    transformation_epsilon: float = 5e-4,
+    rotation_epsilon: float = 2e-4,
+    transformation_epsilon: float = 5e-5,
     damping: float = 1e-4,
     gicp_epsilon: float = 1e-3,
     ref_tile: int = 512,
@@ -446,20 +446,19 @@ def icp_gicp_batch(
     GN (J = [-[c]x | I]) with the same damping contract as
     icp_point_to_plane_batch.
 
-    Convergence: the step-norm thresholds are internally tightened 10x
-    relative to the p2p solver's. The D2D weights scale H by ~1/(2 eps)
+    Convergence: the *default* step-norm thresholds are 10x tighter than
+    the p2p solver's (2e-4/5e-5 vs fast_gicp's 2e-3/5e-4,
+    renderer.cu:1696-1699). The D2D weights scale H by ~1/(2 eps)
     (~500x) along the constrained (normal) directions, so near the
     optimum each GN step is intrinsically smaller than a p2p step for
     the same residual — a step-norm test calibrated for p2p declares
-    convergence ~2 cm early (measured on the curved-patch probe: default
+    convergence ~2 cm early (measured on the curved-patch probe: p2p
     thresholds stall at 18-28 mm in 17-30 iterations; 10x-tightened
     thresholds reach < 0.1 mm in 35-49; this, stacked on the round-2
     centroid fix, was the remaining 'gicp AUC collapse').
+    Caller-supplied epsilons are honored verbatim (no hidden rescaling).
     """
     from perception_tpu.ops.knn import nn1_batch
-
-    rotation_epsilon = rotation_epsilon * 0.1
-    transformation_epsilon = transformation_epsilon * 0.1
 
     n, p, _ = src_xyz.shape
     max_corr_sq = max_correspondence * max_correspondence

@@ -467,12 +467,11 @@ def icp_fused_pallas(
     """Camera-frame corrections [N, 4, 4] (pose' = delta @ pose).
 
     d2d_epsilon > 0 enables the GICP distribution weighting (see
-    _icp_kernel); the step-norm convergence thresholds are then
-    tightened 10x for the same reason icp_gicp_batch tightens them —
-    the D2D weights shrink near-optimum GN steps."""
-    if d2d_epsilon:
-        rotation_epsilon = rotation_epsilon * 0.1
-        transformation_epsilon = transformation_epsilon * 0.1
+    _icp_kernel). In that mode callers should pass step-norm thresholds
+    ~10x tighter than the p2p defaults (the D2D weights shrink
+    near-optimum GN steps — see icp_gicp_batch's convergence note);
+    ScorerConfig.d2d_epsilons() resolves this. The values passed here
+    are honored verbatim."""
     sym = src_normals is not None and d2d_epsilon > 0.0
     n, p, _ = src_xyz.shape
     s = tgt_packed.shape[1]

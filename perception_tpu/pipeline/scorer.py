@@ -103,6 +103,13 @@ class ScorerConfig:
                                     # improvement; see EnvConfig)
     icp_gicp_epsilon: float = 0.05  # GICP plane-covariance floor (see
                                     # EnvConfig.icp_gicp_epsilon)
+    # D2D-mode convergence thresholds (gicp / fused_d2d). None resolves to
+    # icp_*_epsilon * 0.1: the D2D weights shrink near-optimum GN steps,
+    # so a step-norm test calibrated for p2p declares convergence early
+    # (see icp_gicp_batch's convergence note). Explicit values are passed
+    # to the solvers verbatim — the solvers no longer rescale internally.
+    icp_d2d_rotation_epsilon: float | None = None
+    icp_d2d_transformation_epsilon: float | None = None
     icp_d2d_symmetric: bool = False  # fused_d2d: include the source-
                                     # covariance plane term (pallas_icp
                                     # sym mode; measured off — see
@@ -143,6 +150,14 @@ class ScorerConfig:
                                   # pallas* value as the pallas family)
     use_clutter_mode: bool = False
     clutter_regularizer: float = 0.1
+
+    def d2d_epsilons(self) -> tuple[float, float]:
+        """Step-norm thresholds for the D2D solvers (gicp / fused_d2d)."""
+        rot = self.icp_d2d_rotation_epsilon
+        trn = self.icp_d2d_transformation_epsilon
+        return (rot if rot is not None else self.icp_rotation_epsilon * 0.1,
+                trn if trn is not None
+                else self.icp_transformation_epsilon * 0.1)
 
 
 class PoseScores(NamedTuple):
@@ -365,13 +380,18 @@ def score_pose_batch(
 
                     src_nrm = cloud_normals(src_xyz, src_valid)
                 fused_src_nrm = src_nrm
+            if cfg.icp_mode == "fused_d2d":
+                rot_eps, trn_eps = cfg.d2d_epsilons()
+            else:
+                rot_eps = cfg.icp_rotation_epsilon
+                trn_eps = cfg.icp_transformation_epsilon
             delta_mat = icp_fused_pallas(
                 src_xyz, src_valid, tgt_pk, fused_src_nrm,
                 max_iterations=cfg.icp_max_iterations,
                 max_correspondence=cfg.icp_max_correspondence,
                 nn_every=cfg.icp_nn_every,
-                rotation_epsilon=cfg.icp_rotation_epsilon,
-                transformation_epsilon=cfg.icp_transformation_epsilon,
+                rotation_epsilon=rot_eps,
+                transformation_epsilon=trn_eps,
                 stagnation_streak=cfg.icp_stagnation_streak,
                 d2d_epsilon=(cfg.icp_gicp_epsilon
                              if cfg.icp_mode == "fused_d2d" else 0.0),
@@ -388,13 +408,14 @@ def score_pose_batch(
                 # source point, computed once (the rigid update rotates
                 # them inside the solver).
                 src_nrm = cloud_normals(src_xyz, src_valid)
+            rot_eps, trn_eps = cfg.d2d_epsilons()
             icp = icp_gicp_batch(
                 src_xyz, src_valid, src_nrm,
                 tgt_xyz, tgt_valid, scene.seg_normals[labels],
                 max_iterations=cfg.icp_max_iterations,
                 max_correspondence=cfg.icp_max_correspondence,
-                rotation_epsilon=cfg.icp_rotation_epsilon,
-                transformation_epsilon=cfg.icp_transformation_epsilon,
+                rotation_epsilon=rot_eps,
+                transformation_epsilon=trn_eps,
                 gicp_epsilon=cfg.icp_gicp_epsilon,
                 ref_tile=cfg.knn_ref_tile,
                 crop_k=cfg.icp_crop_targets,

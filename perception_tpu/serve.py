@@ -32,6 +32,7 @@ perception_interface does.
 from __future__ import annotations
 
 import argparse
+import html
 import json
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
@@ -235,7 +236,8 @@ def _status_page(service: LocalizerService) -> str:
                "<th>x</th><th>y</th><th>z</th></tr>"
         for d in dets:
             t = d["translation"]
-            rows += (f"<tr><td>{d['name']}</td><td>{t[0]:.3f}</td>"
+            name = html.escape(str(d["name"]))
+            rows += (f"<tr><td>{name}</td><td>{t[0]:.3f}</td>"
                      f"<td>{t[1]:.3f}</td><td>{t[2]:.3f}</td></tr>")
         rows += "</table>"
         img = '<p><img src="/overlay.png" alt="pose overlay"></p>'

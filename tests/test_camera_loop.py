@@ -101,10 +101,30 @@ def test_bad_frame_recorded_not_fatal(tmp_path, scene):
     (tmp_path / "bad-depth.png").write_bytes(b"not a png")
     _drop_frame(tmp_path, "good", env, gt)
     w = FrameWatcher(str(tmp_path), service=service, depth_factor=100.0)
+    # First failing poll: the bad frame might still be mid-write (the
+    # producer is non-atomic), so it is retried, not recorded.
     done = w.scan_once()
-    assert sorted(done) == ["bad", "good"]
+    assert done == ["good"]
+    assert not (tmp_path / "bad-detections.json").exists()
+    # Second poll with an unchanged file: the failure is terminal.
+    done = w.scan_once()
+    assert done == ["bad"]
     bad = json.load(open(tmp_path / "bad-detections.json"))
     assert bad["detections"] == [] and "error" in bad
     good = json.load(open(tmp_path / "good-detections.json"))
     assert good["detections"]
     assert w.pending_keys() == []     # neither retries
+
+
+def test_partial_write_retried_then_succeeds(tmp_path, scene):
+    env, gt = scene
+    service = LocalizerService(_FakeRecognizer(env))
+    # Simulate a producer caught mid-write: truncated bytes first...
+    (tmp_path / "slow-depth.png").write_bytes(b"partial")
+    w = FrameWatcher(str(tmp_path), service=service, depth_factor=100.0)
+    assert w.scan_once() == []
+    # ...then the writer finishes before the next poll.
+    _drop_frame(tmp_path, "slow", env, gt)
+    assert w.scan_once() == ["slow"]
+    out = json.load(open(tmp_path / "slow-detections.json"))
+    assert "error" not in out
