@@ -32,7 +32,7 @@ from scipy.spatial import cKDTree
 from perception_tpu.core.config import CameraIntrinsics, EnvConfig, PerchConfig
 from perception_tpu.core.mesh import ModelBank
 from perception_tpu.core.pose import CAM_TO_BODY, ContPose, world_to_optical_cam
-from perception_tpu.core.state import GraphState, ObjectState
+from perception_tpu.core.state import Discretizer, GraphState, ObjectState
 from perception_tpu.ops.cost import (
     COST_TYPE_3DOF_DEPTH,
     COST_TYPE_3DOF_RGBD,
@@ -105,6 +105,15 @@ class PerceptionEnv:
         self.perch = perch or PerchConfig()
         self.env = env or EnvConfig(width=camera.width, height=camera.height)
         self.stats = EnvStats()
+        # World-grid discretiser for graph-state identity (the reference's
+        # DiscretizationManager::Initialize from EnvConfig resolutions,
+        # discretization_manager.cpp:20-45): MHA*/tree-search duplicate
+        # detection goes through GraphState.hash_key(self._disc) so two
+        # continuous poses in the same discrete cell deduplicate exactly as
+        # the reference's DiscPose equality does. Bounds are refreshed with
+        # the input's search region at set_input.
+        self._disc = Discretizer(res=self.env.res,
+                                 theta_res=self.env.theta_res)
         self._input: RecognitionInput | None = None
         self._observed = None
         self._seg_normals = None
@@ -226,6 +235,10 @@ class PerceptionEnv:
     def set_input(self, rin: RecognitionInput) -> None:
         t0 = time.perf_counter()
         self._input = rin
+        self._disc = Discretizer(
+            x_min=rin.x_min, x_max=rin.x_max,
+            y_min=rin.y_min, y_max=rin.y_max,
+            res=self.env.res, theta_res=self.env.theta_res)
         stride = int(self.perch.gpu_stride)
         self._scene, self._observed, self._seg_normals = self._build_scene(
             rin, stride)

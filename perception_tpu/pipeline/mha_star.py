@@ -132,10 +132,10 @@ class MHAStarPlanner:
         seen: dict[tuple, int] = {}
 
         def push(node: _Node):
-            key = node.state.hash_key(env._disc) if hasattr(env, "_disc") else \
-                tuple(sorted((o.id, o.external_pose_id,
-                              round(o.pose.x, 3), round(o.pose.y, 3),
-                              round(o.pose.z, 3)) for o in node.state.object_states))
+            # Reference state identity: DiscPose-quantised, symmetry-aware
+            # (graph_state.cpp operator== via DiscretizationManager).
+            # env._disc is always set (PerceptionEnv.__init__/set_input).
+            key = node.state.hash_key(env._disc)
             old = seen.get(key)
             if old is not None and old <= node.g:
                 return

@@ -51,6 +51,35 @@ def test_mha_star_with_detection_heuristic():
     assert state.num_objects == 2
 
 
+def test_discretized_state_identity_dedup():
+    """Two continuous poses in the same discrete cell share a hash key
+    (reference DiscPose equality via DiscretizationManager), so the
+    planner's duplicate detection collapses them; a pose one cell over
+    does not. env._disc is the single source of that identity."""
+    from perception_tpu.core.pose import ContPose
+    from perception_tpu.core.state import GraphState, ObjectState
+
+    env = make_env()
+    gt = gt_states()
+    env.set_observation_from_states(gt)
+    assert env._disc is not None
+    res = env.env.res
+
+    def obj(x, y):
+        return ObjectState(id=0, symmetric=False,
+                           pose=ContPose.from_quat(x, y, 0.1, 0, 0, 0, 1))
+
+    a = GraphState((obj(0.200, 0.300),))
+    b = GraphState((obj(0.200 + res * 0.2, 0.300 - res * 0.2),))
+    c = GraphState((obj(0.200 + res * 1.1, 0.300),))
+    assert a.hash_key(env._disc) == b.hash_key(env._disc)
+    assert a.hash_key(env._disc) != c.hash_key(env._disc)
+
+    # set_input refreshes the grid origin from the search region.
+    assert env._disc.x_min == env._input.x_min
+    assert env._disc.y_min == env._input.y_min
+
+
 def test_clutter_mode_cost():
     env = make_env(use_clutter_mode=True, clutter_regularizer=0.5)
     gt = gt_states()
