@@ -257,8 +257,14 @@ class EnvConfig:
     fine_top_k: int = 8                       # candidates per model to refine
     icp_mode: str = "auto"                    # "auto" (fused on TPU, nn on
                                               # CPU) | "nn" | "fused" |
-                                              # "fused_d2d" (GICP weighting
-                                              # in the fused kernel) |
+                                              # "fused_d2d" (split GICP
+                                              # weighting in the fused
+                                              # kernel) | "fused_d2d_exact"
+                                              # (full 3x3 covariance GN —
+                                              # icp_gicp_batch semantics —
+                                              # in the fused kernel, with
+                                              # per-iteration
+                                              # re-association) |
                                               # "projective" | "gicp"
     cost_aug_samples: int = 0                 # cost_cloud="transform": cap
                                               # on the explain-only samples

@@ -61,7 +61,8 @@ _GROUP = 4
 def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
                 g, p, s, max_iterations, max_corr_sq, damping, nn_every=1,
                 rot_eps_sq=4e-6, trn_eps_sq=2.5e-7,
-                stagnation_streak=8.0, d2d_epsilon=0.0, sym=False):
+                stagnation_streak=8.0, d2d_epsilon=0.0, sym=False,
+                exact=False):
     """src [G,3,P] (or [G,6,P] with per-point source normals when sym);
     sadd [G,1,P]; tgt [G,S,8] packed
     (x, y, z, nx, ny, nz, n.t, validity-additive);
@@ -86,6 +87,16 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
     symmetric point-to-plane with a point-to-point floor). The source
     normals ride three extra src rows and rotate with R each iteration;
     their sign never matters (quadratic).
+
+    exact=True (requires d2d + source normals) drops BOTH
+    approximations and runs icp_gicp_batch's Mahalanobis GN verbatim:
+    per-point weight W = inv(2 I - (1-eps)(nt nt^T + ns' ns'^T)) by
+    closed-form adjugate (all elementwise on [G, P] lanes), H = J^T W J
+    with J = [-[a]x | I] about the correspondence centroid,
+    g = -J^T W r, Marquardt diagonal damping, Mahalanobis best-rmse.
+    This is the full 3x3 covariance coupling (including the nt/ns cross
+    terms the split modes drop) inside the fused kernel — the
+    formulation that carries the +2 AUC noise edge on the slow path.
     The measured accuracy story (why this exists, thresholds, the
     covariance floor) lives in ops/icp.py icp_gicp_batch and
     ARCHITECTURE.md's GICP section."""
@@ -111,6 +122,7 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
     # attribute is split into bf16 hi + lo parts recombined after the dot.
     d2d = d2d_epsilon > 0.0
     sym = bool(sym) and d2d
+    exact = bool(exact) and d2d and sym   # needs q + source normals
     # Tangential (point-to-point) weight after normalising the plane
     # weight to 1 (see the docstring): eps / (1 - eps); doubled in
     # symmetric mode so the normal/tangential ratio stays 1/eps with two
@@ -207,7 +219,6 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
 
         w = ((dmin_all + sadd) <= max_corr_sq).astype(jnp.float32)  # [G, P]
 
-        e = nx * cx + ny * cy + nz * cz - nq
         count = w.sum(axis=1, keepdims=True)
         if d2d:
             # Rotate about the per-pose correspondence centroid, not the
@@ -224,20 +235,91 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
             ax, ay, az = cx - cenx, cy - ceny, cz - cenz
         else:
             ax, ay, az = cx, cy, cz
-        # Point-to-plane jacobian: ((c - cen) x n, n).
-        j0 = ay * nz - az * ny
-        j1 = az * nx - ax * nz
-        j2 = ax * ny - ay * nx
-        js = (j0, j1, j2, nx, ny, nz)
+        if exact:
+            # Full-covariance GICP GN (icp_gicp_batch semantics; module
+            # docstring "exact=True"). W is built and inverted per point
+            # with elementwise lane math; the validity weight is folded
+            # into M = w * W so every sum below is already masked.
+            qx, qy, qz = assoc[4], assoc[5], assoc[6]
+            rx, ry, rz = cx - qx, cy - qy, cz - qz
+            nsx = r00 * snx + r01 * sny + r02 * snz   # ns' = R ns
+            nsy = r10 * snx + r11 * sny + r12 * snz
+            nsz = r20 * snx + r21 * sny + r22 * snz
+            ome = 1.0 - d2d_epsilon
+            c00 = 2.0 - ome * (nx * nx + nsx * nsx)
+            c01 = -ome * (nx * ny + nsx * nsy)
+            c02 = -ome * (nx * nz + nsx * nsz)
+            c11 = 2.0 - ome * (ny * ny + nsy * nsy)
+            c12 = -ome * (ny * nz + nsy * nsz)
+            c22 = 2.0 - ome * (nz * nz + nsz * nsz)
+            # Symmetric adjugate inverse; C's eigenvalues live in
+            # [2 eps, 2], so det >= 8 eps^3 > 0 and no sign guard is
+            # needed.
+            co00 = c11 * c22 - c12 * c12
+            co01 = c02 * c12 - c01 * c22
+            co02 = c01 * c12 - c02 * c11
+            co11 = c00 * c22 - c02 * c02
+            co12 = c01 * c02 - c00 * c12
+            co22 = c00 * c11 - c01 * c01
+            det = c00 * co00 + c01 * co01 + c02 * co02
+            invd = w / jnp.maximum(det, 1e-20)
+            m00 = co00 * invd
+            m01 = co01 * invd
+            m02 = co02 * invd
+            m11 = co11 * invd
+            m12 = co12 * invd
+            m22 = co22 * invd
 
-        h = [[None] * 6 for _ in range(6)]
-        gv = [None] * 6
-        for i in range(6):
-            for jj in range(i, 6):
-                h[i][jj] = (js[i] * js[jj] * w).sum(axis=1, keepdims=True)
-            gv[i] = -(js[i] * e * w).sum(axis=1, keepdims=True)   # [G, 1]
-        res2 = e * e                      # weighted residual for best-rmse
-        if d2d:
+            # J = [-[a]x | I] columns; u_j = M @ col_j.
+            us = (
+                (-az * m01 + ay * m02, -az * m11 + ay * m12,
+                 -az * m12 + ay * m22),
+                (az * m00 - ax * m02, az * m01 - ax * m12,
+                 az * m02 - ax * m22),
+                (-ay * m00 + ax * m01, -ay * m01 + ax * m11,
+                 -ay * m02 + ax * m12),
+                (m00, m01, m02), (m01, m11, m12), (m02, m12, m22))
+
+            def dot_col(i, vx, vy, vz):
+                # col_i . v for the sparse jacobian columns above.
+                if i == 0:
+                    return -az * vy + ay * vz
+                if i == 1:
+                    return az * vx - ax * vz
+                if i == 2:
+                    return -ay * vx + ax * vy
+                return (vx, vy, vz)[i - 3]
+
+            wrx = m00 * rx + m01 * ry + m02 * rz
+            wry = m01 * rx + m11 * ry + m12 * rz
+            wrz = m02 * rx + m12 * ry + m22 * rz
+            h = [[None] * 6 for _ in range(6)]
+            gv = [None] * 6
+            for i in range(6):
+                for jj in range(i, 6):
+                    h[i][jj] = dot_col(i, *us[jj]).sum(
+                        axis=1, keepdims=True)
+                gv[i] = -dot_col(i, wrx, wry, wrz).sum(
+                    axis=1, keepdims=True)
+            # Mahalanobis residual (M already carries w; w^2 = w).
+            res2 = rx * wrx + ry * wry + rz * wrz
+        if not exact:
+            e = nx * cx + ny * cy + nz * cz - nq
+            # Point-to-plane jacobian: ((c - cen) x n, n).
+            j0 = ay * nz - az * ny
+            j1 = az * nx - ax * nz
+            j2 = ax * ny - ay * nx
+            js = (j0, j1, j2, nx, ny, nz)
+
+            h = [[None] * 6 for _ in range(6)]
+            gv = [None] * 6
+            for i in range(6):
+                for jj in range(i, 6):
+                    h[i][jj] = (js[i] * js[jj] * w).sum(axis=1,
+                                                        keepdims=True)
+                gv[i] = -(js[i] * e * w).sum(axis=1, keepdims=True)  # [G, 1]
+            res2 = e * e                  # weighted residual for best-rmse
+        if d2d and not exact:
             # Tangential half of the D2D cost (closed-form point-to-point
             # normal equations; docstring). r = c - q; note n.r == e.
             qx, qy, qz = assoc[4], assoc[5], assoc[6]
@@ -303,10 +385,18 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
         new_best_tf = tuple(
             jnp.where(improved, c, bv) for c, bv in zip(cur_tf, best_tf))
 
-        trace = h[0][0] + h[1][1] + h[2][2] + h[3][3] + h[4][4] + h[5][5]
-        lam = damping * trace / 6.0 + 1e-9
-        for i in range(6):
-            h[i][i] = h[i][i] + lam
+        if exact:
+            # Marquardt diagonal scaling, as icp_gicp_batch: an isotropic
+            # trace floor would drown exactly the weak tangential
+            # directions the D2D weights leave.
+            for i in range(6):
+                h[i][i] = h[i][i] * (1.0 + damping) + 1e-9
+        else:
+            trace = (h[0][0] + h[1][1] + h[2][2]
+                     + h[3][3] + h[4][4] + h[5][5])
+            lam = damping * trace / 6.0 + 1e-9
+            for i in range(6):
+                h[i][i] = h[i][i] + lam
         # Guard: identity system when under-determined -> xi = 0 (g scaled 0).
         okf = jnp.where(ok, 1.0, 0.0)
         for i in range(6):
@@ -445,7 +535,7 @@ def pack_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
 @functools.partial(jax.jit, static_argnames=(
     "max_iterations", "max_correspondence", "damping", "nn_every",
     "rotation_epsilon", "transformation_epsilon", "stagnation_streak",
-    "d2d_epsilon", "interpret"))
+    "d2d_epsilon", "exact", "interpret"))
 def icp_fused_pallas(
     src_xyz: jax.Array,      # [N, P, 3]
     src_valid: jax.Array,    # [N, P]
@@ -462,6 +552,7 @@ def icp_fused_pallas(
     transformation_epsilon: float = 5e-4,
     stagnation_streak: float = 8.0,
     d2d_epsilon: float = 0.0,
+    exact: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Camera-frame corrections [N, 4, 4] (pose' = delta @ pose).
@@ -471,8 +562,14 @@ def icp_fused_pallas(
     ~10x tighter than the p2p defaults (the D2D weights shrink
     near-optimum GN steps — see icp_gicp_batch's convergence note);
     ScorerConfig.d2d_epsilons() resolves this. The values passed here
-    are honored verbatim."""
+    are honored verbatim.
+
+    exact=True (requires d2d_epsilon > 0 AND src_normals) switches the
+    in-kernel GN to icp_gicp_batch's full 3x3 covariance formulation
+    (see _icp_kernel's docstring)."""
     sym = src_normals is not None and d2d_epsilon > 0.0
+    if exact and not sym:
+        raise ValueError("exact=True needs d2d_epsilon > 0 and src_normals")
     n, p, _ = src_xyz.shape
     s = tgt_packed.shape[1]
     # Pad P to lanes, S to sublanes, N to the pose group size.
@@ -515,7 +612,7 @@ def icp_fused_pallas(
         rot_eps_sq=rotation_epsilon * rotation_epsilon,
         trn_eps_sq=transformation_epsilon * transformation_epsilon,
         stagnation_streak=float(stagnation_streak),
-        d2d_epsilon=float(d2d_epsilon), sym=sym)
+        d2d_epsilon=float(d2d_epsilon), sym=sym, exact=bool(exact))
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // _GROUP,),

@@ -84,7 +84,8 @@ class ScorerConfig:
     # reference's shipped greedy build (USE_TREE 0) — see rasterizer.py.
     use_tree_occlusion: bool = False
     do_icp: bool = True
-    icp_mode: str = "nn"    # "nn" | "fused" | "projective"
+    icp_mode: str = "nn"    # "nn" | "fused" | "fused_d2d" |
+                            # "fused_d2d_exact" | "projective" | "gicp"
     icp_max_iterations: int = 30
     icp_max_correspondence: float = 0.05
     icp_rotation_epsilon: float = 2e-3
@@ -294,7 +295,8 @@ def score_pose_batch(
 
     model_source = (cfg.do_icp and cfg.icp_source == "model"
                     and bank_icp_samples is not None
-                    and cfg.icp_mode in ("fused", "fused_d2d", "nn", "gicp"))
+                    and cfg.icp_mode in ("fused", "fused_d2d",
+                                         "fused_d2d_exact", "nn", "gicp"))
     coarse = (cfg.do_icp and cfg.icp_render_scale > 1
               and cfg.roi_shape is not None and not model_source)
     if model_source:
@@ -352,9 +354,11 @@ def score_pose_batch(
             ds = 1 if coarse else cfg.icp_downsample
             src_xyz = cloud.xyz[:, ::ds]
             src_valid = cloud.valid[:, ::ds]
-        if cfg.icp_mode in ("fused", "fused_d2d"):
+        if cfg.icp_mode in ("fused", "fused_d2d", "fused_d2d_exact"):
             from perception_tpu.ops.icp import crop_targets
             from perception_tpu.ops.pallas_icp import icp_fused_pallas, pack_targets
+
+            d2d_mode = cfg.icp_mode in ("fused_d2d", "fused_d2d_exact")
 
             # Pack targets per segment (cheap: [L, S, 8]), then gather the
             # cropped rows straight from the segment table — one [N, k, 8]
@@ -370,7 +374,9 @@ def score_pose_batch(
                 cidx = crop_targets(tgt_xyz, tgt_valid, centers, k)
                 tgt_pk = seg_pk[labels[:, None], cidx]
             fused_src_nrm = None
-            if cfg.icp_mode == "fused_d2d" and cfg.icp_d2d_symmetric:
+            if (cfg.icp_mode == "fused_d2d_exact"
+                    or (cfg.icp_mode == "fused_d2d"
+                        and cfg.icp_d2d_symmetric)):
                 if src_nrm is None:
                     # Source covariance from k-NN normals on the rendered
                     # cloud, as fast_gicp estimates them
@@ -380,21 +386,24 @@ def score_pose_batch(
 
                     src_nrm = cloud_normals(src_xyz, src_valid)
                 fused_src_nrm = src_nrm
-            if cfg.icp_mode == "fused_d2d":
+            if d2d_mode:
                 rot_eps, trn_eps = cfg.d2d_epsilons()
+                nn_every = 1 if cfg.icp_mode == "fused_d2d_exact" \
+                    else cfg.icp_nn_every
             else:
                 rot_eps = cfg.icp_rotation_epsilon
                 trn_eps = cfg.icp_transformation_epsilon
+                nn_every = cfg.icp_nn_every
             delta_mat = icp_fused_pallas(
                 src_xyz, src_valid, tgt_pk, fused_src_nrm,
                 max_iterations=cfg.icp_max_iterations,
                 max_correspondence=cfg.icp_max_correspondence,
-                nn_every=cfg.icp_nn_every,
+                nn_every=nn_every,
                 rotation_epsilon=rot_eps,
                 transformation_epsilon=trn_eps,
                 stagnation_streak=cfg.icp_stagnation_streak,
-                d2d_epsilon=(cfg.icp_gicp_epsilon
-                             if cfg.icp_mode == "fused_d2d" else 0.0),
+                d2d_epsilon=(cfg.icp_gicp_epsilon if d2d_mode else 0.0),
+                exact=cfg.icp_mode == "fused_d2d_exact",
                 interpret=resolved_backend.endswith("interpret"))
         elif cfg.icp_mode == "gicp":
             from perception_tpu.ops.icp import cloud_normals, icp_gicp_batch

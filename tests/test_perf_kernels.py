@@ -564,3 +564,62 @@ def test_fused_icp_d2d_interpret_recovers_full_offset(rng):
         resid = delta[i] @ T
         t_err = np.linalg.norm(resid[:3, 3])
         assert t_err < 1e-3, (i, t_err)
+
+
+def test_fused_icp_d2d_exact_matches_icp_gicp_batch(rng):
+    """exact=True runs icp_gicp_batch's full 3x3 Mahalanobis GN inside
+    the fused kernel (same weight matrix, centred jacobian, Marquardt
+    damping) — the deltas must agree to float tolerance, pose by pose,
+    including the partially-invalid case."""
+    from perception_tpu.core.pose import euler_xyz_to_matrix
+    from perception_tpu.ops.icp import icp_gicp_batch
+    from perception_tpu.ops.pallas_icp import icp_fused_pallas, pack_targets
+
+    n, p, s = 3, 128, 256
+    uv = rng.uniform(-0.08, 0.08, (s, 2)).astype(np.float32)
+    z = 0.6 + 1.2 * (uv[:, 0] ** 2 + 0.6 * uv[:, 1] ** 2)
+    tgt1 = np.c_[uv, z].astype(np.float32)
+    nrm1 = np.c_[-2.4 * uv[:, 0], -1.44 * uv[:, 1], np.ones(s)]
+    nrm1 = (nrm1 / np.linalg.norm(nrm1, axis=1, keepdims=True)).astype(
+        np.float32)
+
+    src = np.zeros((n, p, 3), np.float32)
+    snrm = np.zeros((n, p, 3), np.float32)
+    svalid = np.ones((n, p), bool)
+    for i in range(n):
+        sel = rng.choice(s, p, replace=False)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = euler_xyz_to_matrix(*rng.uniform(-0.15, 0.15, 3))
+        T[:3, 3] = rng.uniform(-0.02, 0.02, 3)
+        src[i] = tgt1[sel] @ T[:3, :3].T + T[:3, 3]
+        snrm[i] = nrm1[sel] @ T[:3, :3].T
+    svalid[1, 64:] = False            # partially-invalid pose
+    tgt = np.tile(tgt1[None], (n, 1, 1))
+    nrm = np.tile(nrm1[None], (n, 1, 1))
+    tvalid = np.ones((n, s), bool)
+
+    delta = np.asarray(icp_fused_pallas(
+        jnp.asarray(src), jnp.asarray(svalid),
+        pack_targets(jnp.asarray(tgt), jnp.asarray(tvalid),
+                     jnp.asarray(nrm)),
+        jnp.asarray(snrm),
+        max_iterations=40, max_correspondence=0.05,
+        rotation_epsilon=2e-4, transformation_epsilon=5e-5,
+        d2d_epsilon=0.05, exact=True, interpret=True))
+    ref = icp_gicp_batch(
+        jnp.asarray(src), jnp.asarray(svalid), jnp.asarray(snrm),
+        jnp.asarray(tgt), jnp.asarray(tvalid), jnp.asarray(nrm),
+        max_iterations=40, max_correspondence=0.05, gicp_epsilon=0.05)
+    np.testing.assert_allclose(delta, np.asarray(ref.delta), atol=2e-4)
+
+
+def test_fused_icp_exact_requires_normals():
+    import pytest
+
+    from perception_tpu.ops.pallas_icp import icp_fused_pallas
+
+    with pytest.raises(ValueError):
+        icp_fused_pallas(
+            jnp.zeros((1, 8, 3)), jnp.ones((1, 8), bool),
+            jnp.zeros((1, 8, 8)), d2d_epsilon=0.05, exact=True,
+            interpret=True)

@@ -151,6 +151,41 @@ def test_icp_model_source_converges():
     assert err < 0.01, f"model-source ICP residual {err}"
 
 
+def test_icp_fused_d2d_exact_matches_gicp_through_scorer():
+    """icp_mode=fused_d2d_exact (full-covariance D2D in the fused kernel,
+    per-iteration re-association) through the whole scorer path must land
+    where the slow-path icp_mode=gicp lands — it exists to replace it at
+    fused speed. On this clean quantised box scene all D2D modes stop
+    ~1.6 cm out (the p2p mode does better noise-free; D2D's measured edge
+    is under sensor noise), so the contract is gicp parity + a real
+    improvement over the initial 2.1 cm offset, not an absolute floor."""
+    import dataclasses
+
+    gt = gt_states()
+    off = ContPose.from_quat(gt[0].pose.x + 0.015, gt[0].pose.y - 0.012,
+                             gt[0].pose.z + 0.008, 0, 0, 0, 1)
+    cand = ObjectState(id=0, symmetric=False, pose=off,
+                       segmentation_label_id=1)
+
+    adj = {}
+    for mode, backend in (("gicp", "xla"),
+                          ("fused_d2d_exact", "pallas_interpret")):
+        env = make_env()
+        env.env = dataclasses.replace(env.env, icp_mode=mode,
+                                      kernel_backend=backend)
+        env.set_observation_from_states(gt)
+        scored = env.score_object_states([cand], do_icp=True)
+        a = env.camera_to_world_pose(scored[0].adjusted_pose_cam, 0)
+        adj[mode] = np.array([a.x, a.y, a.z])
+
+    gt_t = np.array([gt[0].pose.x, gt[0].pose.y, gt[0].pose.z])
+    init_err = np.linalg.norm(np.array([off.x, off.y, off.z]) - gt_t)
+    exact_err = np.linalg.norm(adj["fused_d2d_exact"] - gt_t)
+    assert exact_err < 0.8 * init_err, (exact_err, init_err)
+    np.testing.assert_allclose(adj["fused_d2d_exact"], adj["gicp"],
+                               atol=5e-4)
+
+
 def test_validity_pruning(observed_env):
     env = observed_env
     gt = gt_states()
