@@ -4,10 +4,12 @@ Runs the full unified pipeline (render -> cloud -> NN-ICP refine ->
 transform+augment -> 1-NN -> cost) on a realistic rendered scene at YCB
 image scale: 640x480 at stride 8, 3-object scene with genuine
 occlusion/segment structure, candidates perturbed around ground truth so
-refinement behaves as in real greedy recognition (benchmarks/bench_scene;
-BENCH_MODELS=blob ~170-triangle hulls in a 1024-padded bank, or
-bumpy1024 for genuinely ~1024-triangle models — the YCB decimation
-budget; the config string reports live/cap triangle counts).
+refinement behaves as in real greedy recognition (benchmarks/bench_scene).
+The HEADLINE metric is BENCH_MODELS=bumpy1024 (genuinely ~1024-triangle
+models — the YCB decimation budget, i.e. the honest YCB-scale raster
+workload); the historical blob config (~170-triangle hulls in a
+1024-padded bank) is reported alongside as "blob" for continuity with
+rounds 1-3. Set BENCH_MODELS explicitly to measure a single config.
 
 Baseline (BASELINE.md): reference PERCH 2.0 scores ~5k candidate poses per
 ~1 s scene on an NVidia GPU; the north-star target is 100k poses/s on one
@@ -41,8 +43,9 @@ def _cpu_ticks(pid: int) -> int:
         return -1
 
 
-def supervised_main() -> None:
-    """Run the bench in a supervised child process, retrying tunnel flakes.
+def _run_child(models: str, attempts: int = 4) -> dict | None:
+    """Run one measurement child (BENCH_MODELS=models), retrying tunnel
+    flakes. Returns the parsed result dict, or None if every attempt hung.
 
     The axon tunnel intermittently (a) hangs a fresh process forever in
     device acquisition (signature: no output AND ~zero CPU accumulation)
@@ -51,8 +54,8 @@ def supervised_main() -> None:
     here. A healthy-but-slow cold compile burns CPU continuously and is
     left alone for up to 20 minutes.
     """
-    for attempt in range(5):
-        env = dict(os.environ, PT_BENCH_CHILD="1")
+    for attempt in range(attempts):
+        env = dict(os.environ, PT_BENCH_CHILD="1", BENCH_MODELS=models)
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
@@ -91,21 +94,51 @@ def supervised_main() -> None:
             json_lines = [ln for ln in buf.splitlines()
                           if ln.startswith("{")]
             if json_lines:
-                print(json_lines[-1], flush=True)
-                return
+                return json.loads(json_lines[-1])
             print(f"bench supervisor: attempt {attempt + 1} exited "
                   f"rc={proc.returncode} without a result "
                   f"(tail: {buf[-300:]!r}); retrying",
                   file=sys.stderr, flush=True)
         time.sleep(20)
-    # Exhausted: report the outage explicitly (a parseable record beats a
-    # bare failure — the round-3 axon tunnel outage hung every fresh
-    # process in device acquisition for hours).
-    print(json.dumps({
+    return None
+
+
+def supervised_main() -> None:
+    """Measure the honest YCB-scale workload (bumpy1024: genuinely
+    ~1024-triangle models, the YCB decimation budget) as the headline
+    metric, plus the historical blob config (~170 live triangles) for
+    round-over-round continuity. BENCH_MODELS overrides to a single
+    explicit config (A/B use). Both children share the persistent XLA
+    cache (identical tensor shapes), so the second config compiles warm.
+    """
+    explicit = os.environ.get("BENCH_MODELS")
+    headline_models = explicit or "bumpy1024"
+    headline = _run_child(headline_models)
+    blob = None
+    if not explicit:
+        blob = _run_child("blob", attempts=2)
+
+    if headline is not None:
+        if blob is not None:
+            headline["blob"] = {k: blob[k] for k in
+                                ("value", "batch_seconds", "compile_seconds",
+                                 "config") if k in blob}
+        print(json.dumps(headline), flush=True)
+        return
+    # Headline exhausted: report the outage explicitly (a parseable record
+    # beats a bare failure — the round-3 axon tunnel outage hung every
+    # fresh process in device acquisition for hours). Include the blob
+    # result if that config did get through.
+    out = {
         "metric": "candidate_poses_rendered_scored_per_sec",
         "value": 0, "unit": "poses/s", "vs_baseline": 0.0,
-        "error": "TPU unavailable: all 5 attempts hung in device "
-                 "acquisition (axon tunnel outage)"}), flush=True)
+        "error": f"TPU unavailable: all attempts at the {headline_models} "
+                 "config hung in device acquisition (axon tunnel outage)"}
+    if blob is not None:
+        out["blob"] = {k: blob[k] for k in
+                       ("value", "batch_seconds", "compile_seconds",
+                        "config") if k in blob}
+    print(json.dumps(out), flush=True)
     raise SystemExit(1)
 
 
