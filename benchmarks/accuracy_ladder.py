@@ -43,6 +43,9 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "fused_d2d": ([], {"PT_ICP_MODE": "fused_d2d"}),
     "fused_d2d_nn1": ([], {"PT_ICP_MODE": "fused_d2d",
                            "PT_ICP_NN_EVERY": "1"}),
+    # Round 4: the FULL 3x3 covariance GICP GN inside the fused kernel
+    # (pallas_icp exact mode — icp_gicp_batch semantics at fused speed).
+    "fused_d2d_exact": ([], {"PT_ICP_MODE": "fused_d2d_exact"}),
     # The round-2 significant accuracy levers, re-testable under --noise
     # (VERDICT r2: every significant claim must survive the sensor model).
     "samples_240": (["--samples=240"], {}),

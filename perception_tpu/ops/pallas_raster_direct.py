@@ -60,8 +60,17 @@ from perception_tpu.ops.rasterizer import (
     TRI_ID_BITS,
 )
 
-TILE_PIX = 256
-TRI_CHUNK = 256
+# Chunk/tile geometry (PT_TRI_CHUNK / PT_TILE_PIX env A/B knobs; 256/256
+# measured best in round 2 — but that was with bank-order triangle chunks,
+# whose bboxes cover the whole model. Triangles are morton-sorted at bank
+# build since round 3, so SMALLER chunks now mean spatially tight bboxes:
+# at the render_lod=256 default a 256-triangle model is a single chunk
+# (bbox = whole model, culling never fires), while TRI_CHUNK=64 gives four
+# locally-tight bboxes per model. Re-priced on the chip each round.)
+import os as _os
+
+TILE_PIX = int(_os.environ.get("PT_TILE_PIX", 256))
+TRI_CHUNK = int(_os.environ.get("PT_TRI_CHUNK", 256))
 # Scalar-prefetch operands live in SMEM scoped to the whole grid; beyond
 # this many poses the anchors/ids buffer blows the 1 MB SMEM budget
 # (measured: 1.01M at N=2048), so larger batches run the kernel per
