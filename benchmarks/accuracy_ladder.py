@@ -109,6 +109,13 @@ def main() -> None:
             # noisy ladder coexists with the legacy noise-free one.
             noise = a.split("=", 1)[1]
 
+    tag = ""
+    for a in sys.argv[1:]:
+        if a.startswith("--tag="):
+            # Suffix result keys (e.g. --tag=@tpu records default@tpu)
+            # so a backend re-run coexists with the original entry.
+            tag = a.split("=", 1)[1]
+
     results = {}
     first = True
     for name in rungs:
@@ -125,6 +132,7 @@ def main() -> None:
         if noise:
             cmd.append(f"--noise={noise}")
             name = f"{name}@{noise}"
+        name = f"{name}{tag}"
         print(f"=== {name}: {' '.join(cmd)} "
               f"{' '.join(f'{k}={v}' for k, v in env_extra.items())}",
               flush=True)

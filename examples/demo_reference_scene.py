@@ -106,6 +106,12 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     out_dir = args[0] if args else "/tmp/perception_tpu_demo_reference"
     os.makedirs(out_dir, exist_ok=True)
+    if "--cpu" in sys.argv:
+        # Off-tunnel run (sitecustomize pre-imports jax, so env vars are
+        # too late — set the platform programmatically, as tests do).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import cv2
 
@@ -176,7 +182,12 @@ def main() -> None:
     candidates = env.generate_successors_3dof()
     print(f"{len(candidates)} valid grid candidates "
           f"({time.perf_counter() - t0:.1f}s incl. validity pruning)")
-    state, chosen = env.compute_greedy_poses(candidates, do_icp=False)
+    # Collision commit ordering (the reference greedy-ICP baseline's
+    # permutation commit, search_env.cpp:6500-6766): without segmentation
+    # labels, the two white models otherwise race for the same physical
+    # object — a near-tie that can flip across backends.
+    state, chosen = env.compute_greedy_poses(candidates, do_icp=False,
+                                             collision_ordering=True)
     dt = time.perf_counter() - t0
     print(f"localised {state.num_objects} objects in {dt:.1f}s")
 

@@ -580,9 +580,20 @@ class PerceptionEnv:
 
     def compute_greedy_poses(
         self, candidates: Sequence[ObjectState], do_icp: bool | None = None,
+        collision_ordering: bool = False,
     ) -> tuple[GraphState, list[ScoredState]]:
         """Per-model argmin over scored candidates with the
         |target - source| < 30 filter (search_env.cpp:2542-2583).
+
+        collision_ordering=True (3-DoF mode) replaces the independent
+        per-model argmin with the reference greedy-ICP baseline's commit
+        ordering (ComputeGreedyICPPoses, search_env.cpp:6500-6766): every
+        permutation of model commit order is tried, each model commits its
+        cheapest candidate that does not collide with already-committed
+        objects (IsValidPose(committed_state, ...) — the inscribed-circle
+        pairwise check), and the cheapest-total permutation wins. Without
+        it, two models can claim the same physical object (no segmentation
+        labels separate instances in 3-DoF mode).
 
         With EnvConfig.fine_stride set, the best fine_top_k candidates per
         model (post-refinement poses) are re-scored at the finer stride and
@@ -630,17 +641,20 @@ class PerceptionEnv:
         # mode it stays per model.
         six_dof = (self._input is not None
                    and self._input.use_external_pose_list)
-        best: dict[tuple, ScoredState] = {}
-        for su in scored:
-            if su.cost in (-1, -2):
-                continue
-            if abs(su.target_cost - su.source_cost) >= 30:
-                continue
-            mid = su.state.id
-            key = (mid, su.state.segmentation_label_id) if six_dof \
-                else (mid,)
-            if key not in best or su.cost < best[key].cost:
-                best[key] = su
+        if collision_ordering and not six_dof:
+            best = self._commit_with_collisions(scored)
+        else:
+            best = {}
+            for su in scored:
+                if su.cost in (-1, -2):
+                    continue
+                if abs(su.target_cost - su.source_cost) >= 30:
+                    continue
+                mid = su.state.id
+                key = (mid, su.state.segmentation_label_id) if six_dof \
+                    else (mid,)
+                if key not in best or su.cost < best[key].cost:
+                    best[key] = su
         if self.env.pose_refinement_rounds and best:
             best = self._refine_winners(best, do_icp, six_dof)
 
@@ -670,6 +684,58 @@ class PerceptionEnv:
                         color[..., ::-1].astype(np.uint8))
         self.stats.scenes_valid = sum(1 for s in scored if s.cost >= 0)
         return state, chosen
+
+    def _commit_with_collisions(
+            self, scored: Sequence[ScoredState]) -> dict:
+        """Reference greedy commit ordering (ComputeGreedyICPPoses,
+        search_env.cpp:6500-6766): try model permutations, committing each
+        model's cheapest non-colliding candidate; cheapest total wins.
+        Scores are already computed, so this is pure host bookkeeping."""
+        import itertools
+
+        per_model: dict[int, list[ScoredState]] = {}
+        adj_world: dict[int, ObjectState] = {}
+        for i, su in enumerate(scored):
+            if su.cost in (-1, -2):
+                continue
+            if abs(su.target_cost - su.source_cost) >= 30:
+                continue
+            per_model.setdefault(su.state.id, []).append(su)
+            # Collision checks run on the post-ICP world pose (the pose
+            # that will actually be committed).
+            adj_world[id(su)] = dataclasses.replace(
+                su.state, pose=self.camera_to_world_pose(
+                    su.adjusted_pose_cam, su.state.id))
+        for mid in per_model:
+            per_model[mid].sort(key=lambda su: su.cost)
+        mids = sorted(per_model)
+        # The reference fixes 100 as the missing-model score; costs here are
+        # target% + source% <= 200, so 200 keeps "place if at all possible".
+        miss_penalty = 200
+        orders = (itertools.permutations(mids) if len(mids) <= 5
+                  else [tuple(sorted(
+                      mids, key=lambda m: per_model[m][0].cost))])
+        best_total, best_sel = None, {}
+        for order in orders:
+            placed = GraphState()
+            sel: dict[tuple, ScoredState] = {}
+            total = 0
+            for mid in order:
+                chosen = None
+                for su in per_model[mid]:
+                    if self.is_valid_pose(adj_world[id(su)], placed=placed,
+                                          after_refinement=True):
+                        chosen = su
+                        break
+                if chosen is None:
+                    total += miss_penalty
+                    continue
+                total += chosen.cost
+                sel[(mid,)] = chosen
+                placed = placed.append(adj_world[id(chosen)])
+            if best_total is None or total < best_total:
+                best_total, best_sel = total, sel
+        return best_sel
 
     def _refine_winners(self, best: dict, do_icp, six_dof: bool) -> dict:
         """Local rotation-refinement rounds around the greedy winners.

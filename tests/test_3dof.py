@@ -113,3 +113,70 @@ def test_3dof_cylinder_observed(table_env):
         assert scored[0].source_cost <= 10
     finally:
         env.perch = saved
+
+
+def test_3dof_collision_commit_ordering():
+    """Two identical-geometry models over a two-object scene with a
+    depth-only cost: the independent per-model argmin lets both models
+    claim the same (cheaper) physical object; collision_ordering=True
+    (the reference greedy-ICP permutation commit,
+    search_env.cpp:6500-6766) forces the runner-up onto the other spot."""
+    v, f = make_box(w=0.10, d=0.07, h=0.12)
+    ma = mesh_model_from_arrays("crate_a", v, f)
+    mb = mesh_model_from_arrays("crate_b", v, f)
+    bank = ModelBank.from_models([ma, mb], t_cap=16)
+    perch = PerchConfig(gpu_stride=2, gpu_batch_size=64,
+                        sensor_resolution=0.02,
+                        min_neighbor_points_for_valid_pose=5,
+                        # Cylinder-local observed totals: with the whole
+                        # scene as one segment, a perfect single-object
+                        # candidate would fail the |target-source| < 30
+                        # filter (the OTHER object's points dominate the
+                        # source term).
+                        use_cylinder_observed=True)
+    env_cfg = EnvConfig(width=CAM.width, height=CAM.height,
+                        res=0.04, theta_res=np.pi / 4,
+                        max_points_per_pose=512, max_observed_points=4096,
+                        max_points_per_label=2048, max_labels=2,
+                        # Full-segment cost targets: the 256-point crop
+                        # mixes the other object's points into this tiny
+                        # scene's denominator and trips the filter.
+                        cost_crop_targets=0,
+                        icp_downsample=2)
+    env = PerceptionEnv(bank, CAM, perch, env_cfg)
+
+    spots = [(0.52, -0.16), (0.72, 0.16)]
+    gt = [ObjectState(id=i, symmetric=False,
+                      pose=ContPose.from_euler(x, y, -0.10, 0, 0, 0),
+                      segmentation_label_id=1)
+          for i, (x, y) in enumerate(spots)]
+    env._input = RecognitionInput(
+        depth_image=np.zeros((CAM.height, CAM.width)),
+        cam_to_world=CAM_TO_BODY.copy(), use_external_pose_list=False)
+    depth, color, _ = env.render_composite(gt)
+    env.set_input(RecognitionInput(
+        depth_image=depth.astype(np.float64), color_image=color.astype(
+            np.float32), depth_factor=100.0, cam_to_world=CAM_TO_BODY.copy(),
+        use_external_pose_list=False,
+        x_min=0.4, x_max=0.9, y_min=-0.3, y_max=0.3, table_height=-0.10))
+
+    # Both models get candidates at BOTH spots (identical geometry: the
+    # depth-only cost cannot tell the models apart).
+    cands = []
+    for mid in (0, 1):
+        for (x, y) in spots:
+            cands.append(ObjectState(
+                id=mid, symmetric=False,
+                pose=ContPose.from_euler(x, y, -0.10, 0, 0, 0),
+                segmentation_label_id=1))
+
+    state, _ = env.compute_greedy_poses(cands, do_icp=False,
+                                        collision_ordering=True)
+    assert state.num_objects == 2
+    xs = sorted(round(o.pose.x, 2) for o in state.object_states)
+    assert xs == [0.52, 0.72], xs     # one object per physical spot
+
+    # Control: the independent argmin double-claims one spot.
+    state0, _ = env.compute_greedy_poses(cands, do_icp=False)
+    xs0 = [round(o.pose.x, 2) for o in state0.object_states]
+    assert xs0[0] == xs0[1], xs0
