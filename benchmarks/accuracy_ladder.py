@@ -55,6 +55,9 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
                                      "PT_REFINE_ROUNDS": "2"}),
     "icp_nn": ([], {"PT_ICP_MODE": "nn"}),
     "cost_crop_256": ([], {"PT_COST_CROP_TARGETS": "256"}),
+    # render_lod=256 became the shipped default in round 3, so pricing it
+    # now needs an explicit lod0 (full-resolution bank) baseline rung.
+    "render_lod_0": ([], {"PT_RENDER_LOD": "0"}),
     "render_lod_512": ([], {"PT_RENDER_LOD": "512"}),
     "render_lod_256": ([], {"PT_RENDER_LOD": "256"}),
     "render_lod_128": ([], {"PT_RENDER_LOD": "128"}),
@@ -87,6 +90,12 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "hires_cluster_lod512": (["--models=zoo_hires"],
                              {"PT_DECIMATE": "cluster",
                               "PT_RENDER_LOD": "512"}),
+    # Full-resolution-bank baselines (render_lod defaults to 256 since the
+    # round-3 flip, so the unsuffixed hires rungs no longer measure lod0).
+    "hires_qem_lod0": (["--models=zoo_hires"],
+                       {"PT_DECIMATE": "qem", "PT_RENDER_LOD": "0"}),
+    "hires_cluster_lod0": (["--models=zoo_hires"],
+                           {"PT_DECIMATE": "cluster", "PT_RENDER_LOD": "0"}),
 }
 
 

@@ -1,35 +1,19 @@
 """Run the framework on the reference's REAL captured RGB-D demo frame.
 
-The reference ships one real Kinect capture in-tree:
-`sbpl_perception/demo/demo_depth.png` (16-bit, 0.1 mm units) +
-`demo_rgb.png` — a conference-table scene with three objects (an orange
-Tide detergent jug, a white Tilex spray bottle, a small white cup) that
-its `demo.cpp` localises via the 3-DoF search path. This script feeds
-that frame through this framework's image-input path with the reference's
-own constants:
+The workload (real Kinect capture, proxy models, demo.cpp constants) is
+packaged in `perception_tpu/eval/demo_frame.py`; this script drives it
+end-to-end, writes output_poses.txt / output_stats.txt plus debug
+overlays (detected-pose renders composited over the real RGB), prints a
+per-stage timing table, and asserts the three proxies land on their real
+objects (pseudo-GT frozen in tests/data/demo_frame_pseudo_gt.json by the
+--oracle mode; see tests/test_demo_frame.py for the regression lane).
 
-  * Kinect V1 intrinsics (camera_config.yaml: fx=fy=576.0976,
-    cx=321.064, cy=242.977, 640x480),
-  * the demo camera pose and world-frame table bounds from
-    `src/experiments/demo.cpp:26-49` (x [-0.1795, 0.1410],
-    y [-0.3976, 0.0104], table_height 0), composed with the optical->body
-    rotation exactly as the image path does (search_env.cpp:5941-5950),
-  * 16-bit depth read + depth_factor scaling per the image branch
-    (search_env.cpp:5887-5915; this capture is 0.1 mm units -> 10000).
+    python examples/demo_reference_scene.py [output_dir] [--cpu]
+    python examples/demo_reference_scene.py --oracle [--cpu]
 
-The reference's CAD meshes for these objects (tilex_spray, tide, glass_7)
-are NOT shipped in its repo (the model bank is resolved from external
-rosparam paths), so localisation here uses primitive PROXY models sized
-to the products. The output poses are therefore proxy poses — the point
-of this demo is that the full pipeline (bounds-filtered cloud extraction,
-grid successor generation, validity pruning, render+score+select on TPU)
-runs end-to-end on a real sensor frame with real noise, holes, clutter
-and a background person, and lands the proxies on the real objects.
-
-Writes output_poses.txt / output_stats.txt plus debug overlays
-(detected-pose renders composited over the real RGB) into the output dir.
-
-    python examples/demo_reference_scene.py [output_dir]
+--oracle re-runs the search at a 2x finer grid/stride/yaw and freezes
+the resulting poses in-tree as pseudo-GT (no external GT exists for the
+capture).
 """
 
 from __future__ import annotations
@@ -41,65 +25,6 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-DEMO_DIR = "/root/reference/sbpl_perception/demo"
-
-# demo.cpp:26-30 — camera BODY pose in the world frame.
-CAMERA_POSE = np.array([
-    [0.00974155, 0.997398, -0.0714239, -0.031793],
-    [-0.749216, -0.040025, -0.661116, 0.743224],
-    [-0.662254, 0.0599522, 0.746877, 0.878005],
-    [0.0, 0.0, 0.0, 1.0]])
-
-# demo.cpp:45-50 — world-frame search bounds over the table.
-BOUNDS = dict(x_min=-0.179464, x_max=0.141014,
-              y_min=-0.397647, y_max=0.0103991, table_height=0.0)
-
-
-def _cylinder(r, h, n=24):
-    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
-    ring = np.c_[r * np.cos(ang), r * np.sin(ang)]
-    verts = np.r_[np.c_[ring, np.zeros(n)], np.c_[ring, np.full(n, h)],
-                  [[0, 0, 0]], [[0, 0, h]]]
-    faces = []
-    for i in range(n):
-        j = (i + 1) % n
-        faces += [[i, j, n + i], [j, n + j, n + i],        # wall
-                  [2 * n, j, i], [2 * n + 1, n + i, n + j]]  # caps
-    return verts, np.asarray(faces)
-
-
-def _box(w, d, h):
-    x, y = w / 2, d / 2
-    verts = np.array([
-        [-x, -y, 0], [x, -y, 0], [x, y, 0], [-x, y, 0],
-        [-x, -y, h], [x, -y, h], [x, y, h], [-x, y, h]])
-    faces = np.array([
-        [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
-        [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
-        [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]])
-    return verts, faces
-
-
-def build_models():
-    """Primitive proxies sized to the real products in the frame."""
-    from perception_tpu.core.mesh import mesh_model_from_arrays
-
-    # Tide 50-oz jug: rounded carton ~ 18 x 11 cm footprint, 26 cm tall.
-    v, f = _box(0.18, 0.11, 0.26)
-    tide = mesh_model_from_arrays(
-        "tide", v, f, colors=np.tile([225.0, 90, 40], (len(v), 1)))
-    # Tilex spray bottle: body cylinder ~ 9.5 cm diameter, 26 cm overall.
-    v, f = _cylinder(0.048, 0.26)
-    tilex = mesh_model_from_arrays(
-        "tilex_spray", v, f, colors=np.tile([235.0, 235, 240], (len(v), 1)),
-        symmetric=True)
-    # Small cup: ~ 7 cm diameter, 10 cm tall.
-    v, f = _cylinder(0.035, 0.10)
-    glass = mesh_model_from_arrays(
-        "glass_7", v, f, colors=np.tile([240.0, 240, 245], (len(v), 1)),
-        symmetric=True)
-    return [tide, tilex, glass]
 
 
 def main() -> None:
@@ -115,64 +40,23 @@ def main() -> None:
 
     import cv2
 
-    from perception_tpu.core.config import CameraIntrinsics, EnvConfig, PerchConfig
-    from perception_tpu.core.mesh import ModelBank
-    from perception_tpu.pipeline.env import PerceptionEnv, RecognitionInput
-    from perception_tpu.io.poses_file import write_output_poses, write_output_stats
+    from perception_tpu.eval import demo_frame
+    from perception_tpu.io.poses_file import (
+        write_output_poses, write_output_stats)
 
-    depth = cv2.imread(os.path.join(DEMO_DIR, "demo_depth.png"),
-                       cv2.IMREAD_UNCHANGED)
-    rgb = cv2.imread(os.path.join(DEMO_DIR, "demo_rgb.png"))[:, :, ::-1]
-    assert depth.dtype == np.uint16 and depth.shape == (480, 640)
+    if "--oracle" in sys.argv:
+        t0 = time.perf_counter()
+        out = demo_frame.run_oracle(write=True)
+        print(f"oracle ({out['config']}) in "
+              f"{time.perf_counter() - t0:.1f}s:")
+        for name, p in out["poses"].items():
+            print(f"  {name}: x={p['x']} y={p['y']} yaw={p['yaw']} "
+                  f"cost={p['cost']}")
+        print(f"froze pseudo-GT -> {demo_frame.PSEUDO_GT_PATH}")
+        return
 
-    # camera_config.yaml Kinect V1.0.
-    cam = CameraIntrinsics(fx=576.09757860, fy=576.09757860,
-                           cx=321.06398107, cy=242.97676897,
-                           width=640, height=480)
-    bank = ModelBank.from_models(build_models(), t_cap=128)
-    env = PerceptionEnv(
-        bank, cam,
-        PerchConfig(gpu_stride=4, gpu_batch_size=512,
-                    # roman_gpu_env_config.yaml (the reference's real-scene
-                    # 3-DoF GPU deployment): sensor_resolution 0.02 and
-                    # occlusion flagging disabled (threshold 100 cm) — with
-                    # no segmentation mask, real clutter/noise in front of
-                    # a candidate must not invalidate it outright.
-                    sensor_resolution=0.02,
-                    gpu_occlusion_threshold=100.0,
-                    # The depth-only cost cannot tell a 26 cm orange jug
-                    # from a 26 cm white spray bottle — on this frame the
-                    # three detections land on the wrong objects without
-                    # the CIEDE2000 colour term (the reference's 3-DoF RGBD
-                    # cost, compute_costs.cuh:207-248).
-                    use_color_cost=True,
-                    color_distance_threshold=18.0,
-                    # demo_env_config.yaml scales 500 neighbours at full
-                    # res; stride 4 keeps 1/16 of the pixels.
-                    min_neighbor_points_for_valid_pose=30),
-        EnvConfig(width=cam.width, height=cam.height,
-                  # Half the demo_env_config.yaml translation resolution
-                  # (0.04): the proxies aren't exact meshes, so a finer
-                  # grid buys the fit the shape can't.
-                  res=0.02, theta_res=np.pi / 8,
-                  max_labels=2, max_points_per_label=8192,
-                  max_observed_points=8192, max_points_per_pose=2048,
-                  icp_downsample=2))
-
-    # Image-input path: optical -> world = camera_pose @ cam_to_body
-    # (search_env.cpp:5941-5950).
-    cam_to_body = np.array([[0, 0, 1, 0], [-1, 0, 0, 0],
-                            [0, -1, 0, 0], [0, 0, 0, 1]], np.float64)
-    rin = RecognitionInput(
-        depth_image=depth.astype(np.float64),
-        color_image=rgb.astype(np.float64),
-        depth_factor=10000.0,          # 0.1 mm units in this capture
-        cam_to_world=CAMERA_POSE @ cam_to_body,
-        segmented_object_names=[m.name for m in bank.models],
-        use_external_pose_list=False,   # 3-DoF bounds-filtered mode
-        **BOUNDS)
-    env.set_input(rin)
-
+    env = demo_frame.build_env()
+    depth, rgb = demo_frame.load_input(env)
     n_obs = int(np.asarray(env._observed.count))
     print(f"observed cloud: {n_obs} in-bounds points "
           f"(of {int((depth > 0).sum())} valid pixels)")
@@ -180,24 +64,31 @@ def main() -> None:
 
     t0 = time.perf_counter()
     candidates = env.generate_successors_3dof()
+    t_succ = time.perf_counter() - t0
     print(f"{len(candidates)} valid grid candidates "
-          f"({time.perf_counter() - t0:.1f}s incl. validity pruning)")
-    # Collision commit ordering (the reference greedy-ICP baseline's
-    # permutation commit, search_env.cpp:6500-6766): without segmentation
-    # labels, the two white models otherwise race for the same physical
-    # object — a near-tie that can flip across backends.
+          f"({t_succ:.1f}s incl. validity pruning)")
     state, chosen = env.compute_greedy_poses(candidates, do_icp=False,
                                              collision_ordering=True)
     dt = time.perf_counter() - t0
     print(f"localised {state.num_objects} objects in {dt:.1f}s")
 
     rows = []
+    print("\n  object        x       y      yaw   cost (target/source)")
     for sel, su in zip(state.object_states, chosen):
-        model = bank.models[sel.id]
+        model = env.bank.models[sel.id]
         rows.append((model.name, sel.pose, model.preprocessing_transform))
-        print(f"  {model.name}: x={sel.pose.x:.3f} y={sel.pose.y:.3f} "
-              f"yaw={sel.pose.yaw:.2f} cost={su.cost} "
-              f"(target {su.target_cost:.1f} source {su.source_cost:.1f})")
+        print(f"  {model.name:<12} {sel.pose.x:+.3f}  {sel.pose.y:+.3f}  "
+              f"{sel.pose.yaw:+.2f}  {su.cost}  "
+              f"({su.target_cost:.0f}/{su.source_cost:.0f})")
+    s = env.stats
+    print("\n  stage timing (real frame, this process):")
+    print(f"    input (cloud extraction + filters): {s.input_time:7.2f} s")
+    print(f"    candidate generation + validity:    {t_succ:7.2f} s")
+    print(f"    device render+score dispatch:       {s.gpu_time:7.2f} s")
+    print(f"    greedy select + commit:             "
+          f"{max(0.0, s.time - s.gpu_time):7.2f} s")
+    print(f"    total recognition:                  {s.time:7.2f} s "
+          f"({s.scenes_rendered} poses scored)")
     write_output_poses(os.path.join(out_dir, "output_poses.txt"), rows)
     write_output_stats(os.path.join(out_dir, "output_stats.txt"), env.stats)
 
@@ -214,16 +105,18 @@ def main() -> None:
     dviz = (np.nan_to_num(dviz) * 255).astype(np.uint8)
     cv2.imwrite(os.path.join(out_dir, "depth_input.png"),
                 cv2.applyColorMap(dviz, cv2.COLORMAP_TURBO))
-    print(f"wrote {out_dir}/output_poses.txt + overlay_detections.png")
+    print(f"\nwrote {out_dir}/output_poses.txt + overlay_detections.png")
 
     assert state.num_objects == 3, "expected all three proxies placed"
-    # Each detection must land on ITS real object (reference world-frame
-    # centroids measured from the capture itself; tolerance covers the
-    # proxy-shape mismatch and the coarse grid).
-    expect = {"tide": (0.03, -0.30), "tilex_spray": (-0.03, -0.07),
-              "glass_7": (-0.13, -0.36)}
+    # Each detection must land on ITS real object, within tolerance of the
+    # frozen pseudo-GT (oracle run at 2x finer grid; tolerance covers the
+    # deployment grid's coarseness + proxy-shape mismatch).
+    gt = demo_frame.load_pseudo_gt()
+    expect = ({n: (p["x"], p["y"]) for n, p in gt["poses"].items()} if gt
+              else {"tide": (0.03, -0.30), "tilex_spray": (-0.03, -0.07),
+                    "glass_7": (-0.13, -0.36)})
     for sel in state.object_states:
-        name = bank.models[sel.id].name
+        name = env.bank.models[sel.id].name
         ex, ey = expect[name]
         err = float(np.hypot(sel.pose.x - ex, sel.pose.y - ey))
         assert err < 0.10, (name, sel.pose.x, sel.pose.y, err)
