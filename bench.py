@@ -43,7 +43,7 @@ def _cpu_ticks(pid: int) -> int:
         return -1
 
 
-def _run_child(models: str, attempts: int = 4) -> dict | None:
+def _run_child(models: str, attempts: int = 10) -> dict | None:
     """Run one measurement child (BENCH_MODELS=models), retrying tunnel
     flakes. Returns the parsed result dict, or None if every attempt hung.
 
@@ -85,20 +85,29 @@ def _run_child(models: str, attempts: int = 4) -> dict | None:
                           f"stalled ({elapsed:.0f}s, {ticks} ticks); "
                           "retrying", file=sys.stderr, flush=True)
                     break
-        if not hang:
-            proc.wait()
-            try:
-                buf += proc.stdout.read() or ""
-            except Exception:
-                pass
-            json_lines = [ln for ln in buf.splitlines()
-                          if ln.startswith("{")]
-            if json_lines:
-                return json.loads(json_lines[-1])
-            print(f"bench supervisor: attempt {attempt + 1} exited "
-                  f"rc={proc.returncode} without a result "
-                  f"(tail: {buf[-300:]!r}); retrying",
-                  file=sys.stderr, flush=True)
+        if hang:
+            # Tunnel outages last minutes-to-hours but recover (rounds 3-4:
+            # every fresh process hung in device acquisition for ~an hour,
+            # then the pool came back). The driver invokes bench.py exactly
+            # once per round, so patience lives here: back off harder the
+            # longer the outage runs (20 s -> ~5 min, ~35 min total budget
+            # across 10 attempts) instead of burning all attempts inside
+            # the first few minutes of an outage.
+            time.sleep(min(20 * (attempt + 1), 300))
+            continue
+        proc.wait()
+        try:
+            buf += proc.stdout.read() or ""
+        except Exception:
+            pass
+        json_lines = [ln for ln in buf.splitlines()
+                      if ln.startswith("{")]
+        if json_lines:
+            return json.loads(json_lines[-1])
+        print(f"bench supervisor: attempt {attempt + 1} exited "
+              f"rc={proc.returncode} without a result "
+              f"(tail: {buf[-300:]!r}); retrying",
+              file=sys.stderr, flush=True)
         time.sleep(20)
     return None
 
