@@ -152,7 +152,7 @@ def main() -> None:
         # start prints within ~30 s), so zero output after 180 s is the
         # hang signature — kill fast instead of burning the full timeout.
         out = None
-        for attempt in range(4):
+        for attempt in range(6):
             import tempfile
 
             log = tempfile.NamedTemporaryFile("w+", suffix=".runglog",
@@ -216,7 +216,10 @@ def main() -> None:
                     break
                 print(f"    attempt {attempt + 1}: transient backend "
                       "failure; retrying", flush=True)
-            time.sleep(30)
+            # Outages last minutes-to-hours but recover (rounds 3-4):
+            # escalate the backoff instead of burning every attempt in
+            # the outage's first few minutes.
+            time.sleep(min(30 * (attempt + 1), 300))
         if out is None:
             results[name] = {"error": "timeout"}
             continue

@@ -35,7 +35,9 @@ for attempt in 1 2 3 4 5 6; do
   done
   echo "run_tpu: attempt $attempt stalled (no output, ${ticks:-?} ticks CPU); retrying" >&2
   kill $PID 2>/dev/null
-  sleep 30
+  # Escalating backoff: outages last minutes-to-hours but recover.
+  back=$((30 * attempt)); [ $back -gt 300 ] && back=300
+  sleep $back
 done
 echo "run_tpu: giving up after 6 attempts" >&2
 exit 1
