@@ -85,6 +85,37 @@ class ObjectRecognizer:
     def bank(self) -> ModelBank:
         return self.env.bank
 
+    def warmup(self) -> float:
+        """Compile the serving path before the first request.
+
+        The reference's CUDA kernels are AOT-compiled, so its ROS node
+        (object_recognition_node.cpp) is ready as soon as models load;
+        under XLA the scoring programs JIT on first use, which would land
+        on the first client request (~minutes cold on a tunnel-backed
+        chip). Rendering the bank's own models into a synthetic
+        observation (the fake-input path, search_env.cpp:5777-5824) and
+        localising it once at boot moves that cost to startup — and, with
+        the persistent compile cache (utils/compile_cache.py), to the
+        first boot only. Returns wall seconds spent.
+        """
+        import time
+
+        t0 = time.perf_counter()
+        env = self.env
+        n = len(self.bank.models)
+        states, pose_lists = [], {}
+        for i, m in enumerate(self.bank.models):
+            y = 0.12 * (i - (n - 1) / 2.0)
+            states.append(ObjectState(
+                id=i, symmetric=m.symmetric,
+                pose=ContPose.from_quat(0.58, y, -0.02, 0, 0, 0, 1),
+                segmentation_label_id=i + 1))
+            pose_lists[m.name] = np.asarray(
+                [[0.58, y, -0.02, 0.0, 0.0, 0.0, 1.0]])
+        env.set_observation_from_states(states)
+        self.localize_objects_greedy_render(env._input, pose_lists)
+        return time.perf_counter() - t0
+
     # -- PERCH 2.0 greedy render ---------------------------------------
 
     def localize_objects_greedy_render(

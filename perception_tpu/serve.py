@@ -252,6 +252,10 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--port", type=int, default=8765)
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile the serving path at boot (one "
+                             "synthetic localisation) so the first client "
+                             "request is served at steady-state latency")
     args = parser.parse_args(argv)
 
     import yaml
@@ -267,6 +271,9 @@ def main(argv=None) -> int:
          for m in cfg["model_bank"]],
         cam, PerchConfig.from_yaml_dict(cfg),
         EnvConfig.from_yaml_dict(cfg.get("env_params", {})))
+    if args.warmup:
+        dt = recognizer.warmup()
+        print(f"warmup: serving path compiled in {dt:.1f}s")
     server = serve(recognizer, args.port)
     print(f"perception_tpu localizer on :{args.port}")
     server.serve_forever()

@@ -156,3 +156,34 @@ def test_empty_observation():
     gt = gt_states()
     scored = env.score_object_states([gt[0]], do_icp=False)
     assert scored[0].cost == -1 or scored[0].target_cost >= 99
+
+
+def test_warmup_compiles_serving_path(tmp_path):
+    """ObjectRecognizer.warmup(): the boot-time synthetic localisation
+    (serve --warmup) must run the real greedy serving path end-to-end
+    and leave the recogniser serviceable — the warmup observation is the
+    bank's own models, so it should detect them at their nominal poses."""
+    from perception_tpu.core.config import CameraIntrinsics, EnvConfig, PerchConfig
+    from perception_tpu.pipeline.recognizer import ModelSpec, ObjectRecognizer
+    from tests.test_search_e2e import _write_box_ply
+
+    cam = CameraIntrinsics(fx=160.0, fy=160.0, cx=64.0, cy=48.0,
+                           width=128, height=96)
+    _write_box_ply(tmp_path / "red.ply", 0.12, 0.08, 0.10, (200, 40, 40))
+    _write_box_ply(tmp_path / "green.ply", 0.06, 0.06, 0.16, (40, 200, 40))
+    rec = ObjectRecognizer(
+        [ModelSpec(name="red_box", path=str(tmp_path / "red.ply")),
+         ModelSpec(name="green_box", path=str(tmp_path / "green.ply"))],
+        cam,
+        PerchConfig(gpu_stride=2, gpu_batch_size=64, sensor_resolution=0.02,
+                    min_neighbor_points_for_valid_pose=5),
+        EnvConfig(width=cam.width, height=cam.height, max_points_per_pose=512,
+                  max_observed_points=4096, max_points_per_label=1024,
+                  max_labels=4, max_triangles_per_model=16),
+        use_external_pose_list=True, target_triangles=16)
+    dt = rec.warmup()
+    assert dt > 0
+    # The warmup localisation itself must have found the bank's models.
+    assert rec.last_state.num_objects == 2
+    names = {rec.bank.models[o.id].name for o in rec.last_state.object_states}
+    assert names == {"red_box", "green_box"}
