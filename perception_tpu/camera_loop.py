@@ -191,6 +191,9 @@ def main(argv=None) -> int:
     parser.add_argument("--url", help="remote serve.py /localize endpoint")
     parser.add_argument("--depth-factor", type=float, default=10000.0)
     parser.add_argument("--poll-seconds", type=float, default=0.5)
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile the scoring path before watching "
+                             "(first frame served at steady-state latency)")
     args = parser.parse_args(argv)
 
     service = None
@@ -213,6 +216,9 @@ def main(argv=None) -> int:
              for m in cfg["model_bank"]],
             cam, PerchConfig.from_yaml_dict(cfg),
             EnvConfig.from_yaml_dict(cfg.get("env_params", {}))))
+        if args.warmup:
+            dt = service.recognizer.warmup()
+            print(f"warmup: scoring path compiled in {dt:.1f}s", flush=True)
     elif not args.url:
         parser.error("pass --config (in-process) or --url (remote)")
 
