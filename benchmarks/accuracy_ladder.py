@@ -99,6 +99,22 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
 }
 
 
+def _merge_into_json(results: dict) -> dict:
+    """Merge `results` into accuracy_ladder.json on disk; returns the
+    merged table. Atomic replace so a kill mid-write can't truncate."""
+    path = os.path.join(HERE, "accuracy_ladder.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(results)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(merged, f, indent=2)
+    os.replace(tmp, path)
+    return merged
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     scenes = pos[0] if pos else "50"
@@ -233,16 +249,12 @@ def main() -> None:
         r = results[name]
         print(f"    AUC {r['value']} CI {r['ci95']} "
               f"({r['scene_seconds_mean']}s/scene)", flush=True)
+        # Persist after EVERY rung (merge-on-write): a multi-rung
+        # invocation killed mid-run (round end, tunnel outage timeout)
+        # must not lose the rungs that did complete.
+        _merge_into_json(results)
 
-    path = os.path.join(HERE, "accuracy_ladder.json")
-    merged = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            merged = json.load(f)
-    merged.update(results)
-    results = merged
-    with open(path, "w") as f:
-        json.dump(results, f, indent=2)
+    results = _merge_into_json(results)
 
     print("\n| rung | ADD-S AUC | 95% CI | <2cm % | s/scene |")
     print("|---|---|---|---|---|")
