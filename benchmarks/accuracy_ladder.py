@@ -264,7 +264,7 @@ def main() -> None:
             continue
         print(f"| {name} | {r['value']} | [{r['ci95'][0]}, {r['ci95'][1]}] "
               f"| {r['under_2cm_pct']} | {r['scene_seconds_mean']} |")
-    print(f"\nwrote {path}")
+    print(f"\nwrote {os.path.join(HERE, 'accuracy_ladder.json')}")
 
 
 if __name__ == "__main__":
