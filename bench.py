@@ -189,9 +189,22 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, iters, body, (p, jnp.float32(0.0)))[1]
 
+    # Split the first-call cost: trace+lower is pure client Python, the
+    # backend compile is where the persistent cache can help, and the first
+    # execution pays one-time input transfer over the axon tunnel. Knowing
+    # which bucket dominates decides which lever to pull (cache vs program
+    # size vs transfer).
     t0 = time.perf_counter()
-    float(repeated(poses, 1))
-    compile_time = time.perf_counter() - t0
+    lowered = repeated.lower(poses, 1)
+    t1 = time.perf_counter()
+    compiled = lowered.compile()
+    t2 = time.perf_counter()
+    float(compiled(poses, 1))
+    t3 = time.perf_counter()
+    compile_time = t3 - t0
+    breakdown = {"trace_s": round(t1 - t0, 1),
+                 "backend_compile_s": round(t2 - t1, 1),
+                 "first_exec_s": round(t3 - t2, 1)}
 
     inner = 10
     best = float("inf")
@@ -209,6 +222,7 @@ def main() -> None:
         "batch": n_poses,
         "batch_seconds": round(best, 4),
         "compile_seconds": round(compile_time, 1),
+        "compile_breakdown": breakdown,
         "device": str(jax.devices()[0]),
         "config": (f"real-scene 640x480 s8 "
                    f"models={os.environ.get('BENCH_MODELS', 'blob')}:"

@@ -42,6 +42,10 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         # cheap to store.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        if os.environ.get("PT_CACHE_DEBUG") == "1":
+            # Log WHY a lookup misses (jax prints the first differing key
+            # component) — the tool for "warm run still compiles" triage.
+            jax.config.update("jax_explain_cache_misses", True)
         _enabled = True
         return cache_dir
     except Exception:
