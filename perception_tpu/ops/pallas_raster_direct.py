@@ -71,6 +71,13 @@ import os as _os
 
 TILE_PIX = int(_os.environ.get("PT_TILE_PIX", 256))
 TRI_CHUNK = int(_os.environ.get("PT_TRI_CHUNK", 256))
+# Sub-chunk bbox granularity (PT_SUB_BBOX, 0 = off): keep the [16, 256]
+# setup transpose (full-lane) but cull and rasterise per SUB_BBOX-triangle
+# morton-local slice. Re-pricing TRI_CHUNK=64 post-morton measured SLOWER
+# because the finer setup transposes run at half lane utilisation; this
+# keeps setup at 256 and only splits the raster loop, which is
+# associativity-exact (same packed-min result).
+SUB_BBOX = int(_os.environ.get("PT_SUB_BBOX", 0))
 # Scalar-prefetch operands live in SMEM scoped to the whole grid; beyond
 # this many poses the anchors/ids buffer blows the 1 MB SMEM budget
 # (measured: 1.01M at N=2048), so larger batches run the kernel per
@@ -80,7 +87,7 @@ SUB_BATCH = 1024
 
 def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
             coef_ref, bbox_ref, *, width, height, stride, n_chunks, n_tiles,
-            tri_chunk, roi_w, tile_pix):
+            tri_chunk, roi_w, tile_pix, sub, n_sub):
     pose_i = pl.program_id(0)
     x0 = anchor_ref[pose_i, 0]
     y0 = anchor_ref[pose_i, 1]
@@ -167,21 +174,31 @@ def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
         alpha_y = -beta_y - gamma_y
         alpha_c = abs_base - beta_c - gamma_c
 
-        # Chunk screen bbox over valid triangles (+1 px margin), for exact
-        # tile culling (a covered sample lies inside its triangle's bbox).
-        # The six coordinate columns reduce TOGETHER as one [8, TT] stacked
-        # min + one max (sublane rows reduce in parallel on the VPU) instead
-        # of 24 independent cross-lane reductions.
+        # Screen bbox per SUB-triangle morton-local slice (+1 px margin),
+        # for exact tile culling (a covered sample lies inside its
+        # triangle's bbox). The six coordinate columns reduce TOGETHER as
+        # stacked [8, SUB] mins + maxes (sublane rows reduce in parallel
+        # on the VPU) instead of 24 independent cross-lane reductions.
+        # n_sub == 1 is the classic whole-chunk bbox.
         big = jnp.float32(3e38)
         zero2 = jnp.zeros((2, tri_chunk), jnp.float32)
         coords = jnp.concatenate([sx0, sx1, sx2, sy0, sy1, sy2, zero2],
                                  axis=0)                       # [8, TT]
-        mns = jnp.min(jnp.where(ok, coords, big), axis=1)      # [8]
-        mxs = jnp.max(jnp.where(ok, coords, -big), axis=1)
-        bbox_ref[0, k] = jnp.minimum(mns[0], jnp.minimum(mns[1], mns[2])) - 1.0
-        bbox_ref[1, k] = jnp.maximum(mxs[0], jnp.maximum(mxs[1], mxs[2])) + 1.0
-        bbox_ref[2, k] = jnp.minimum(mns[3], jnp.minimum(mns[4], mns[5])) - 1.0
-        bbox_ref[3, k] = jnp.maximum(mxs[3], jnp.maximum(mxs[4], mxs[5])) + 1.0
+        mn_in = jnp.where(ok, coords, big)
+        mx_in = jnp.where(ok, coords, -big)
+        for s in range(n_sub):
+            lanes = slice(s * sub, (s + 1) * sub)
+            mns = jnp.min(mn_in[:, lanes], axis=1)             # [8]
+            mxs = jnp.max(mx_in[:, lanes], axis=1)
+            b = k * n_sub + s
+            bbox_ref[0, b] = jnp.minimum(
+                mns[0], jnp.minimum(mns[1], mns[2])) - 1.0
+            bbox_ref[1, b] = jnp.maximum(
+                mxs[0], jnp.maximum(mxs[1], mxs[2])) + 1.0
+            bbox_ref[2, b] = jnp.minimum(
+                mns[3], jnp.minimum(mns[4], mns[5])) - 1.0
+            bbox_ref[3, b] = jnp.maximum(
+                mxs[3], jnp.maximum(mxs[4], mxs[5])) + 1.0
 
         stacked = jnp.concatenate(
             [beta_x, beta_y, beta_c, gamma_x, gamma_y, gamma_c,
@@ -211,43 +228,51 @@ def _kernel(anchor_ref, mid_ref, verts_ref, pose_ref, proj_ref, out_ref,
         id_mask = jnp.int32(MAX_TRIS - 1)
 
         def chunk_body(k, best):
-            overlap = ((bbox_ref[0, k] <= tx_max)
-                       & (bbox_ref[1, k] >= tx_min)
-                       & (bbox_ref[2, k] <= ty_max)
-                       & (bbox_ref[3, k] >= ty_min))
+            # Cull + rasterise per SUB-triangle slice (static unroll; the
+            # packed-max merge is associative so the split is exact).
+            for s in range(n_sub):
+                b = k * n_sub + s
+                overlap = ((bbox_ref[0, b] <= tx_max)
+                           & (bbox_ref[1, b] >= tx_min)
+                           & (bbox_ref[2, b] <= ty_max)
+                           & (bbox_ref[3, b] >= ty_min))
 
-            def compute(best):
-                # Inverse-depth (w) max packing: the nearest triangle has
-                # the LARGEST w, and positive f32 bits are order-preserving
-                # as int32, so the whole depth resolution (reciprocal,
-                # rounding, clipping, shifting) moves out of the
-                # (triangle x pixel) loop into a once-per-pixel epilogue.
-                # The low TRI_ID_BITS mantissa bits carry the COMPLEMENTED
-                # triangle id (ties resolve toward the smaller id, matching
-                # the reference's min-key tie-break) at a w quantisation of
-                # 2^-12 relative — resolved depth moves by <= 0.25 mm at
-                # 1 m, de-biased by the half-step in the epilogue.
-                c = coef_ref[pl.ds(k * tri_chunk, tri_chunk), :]  # [TT, 16]
-                beta = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
-                gamma = c[:, 3:4] * px + c[:, 4:5] * py + c[:, 5:6]
-                alpha = c[:, 6:7] * px + c[:, 7:8] * py + c[:, 8:9]
-                w = c[:, 9:10] * px + c[:, 10:11] * py + c[:, 11:12]
-                # Non-positive w loses naturally (negative int bits < 0
-                # init), but +Inf/NaN w — a vertex at/crossing the camera
-                # plane that survives upstream culling — bitcasts to a huge
-                # positive key and would win with a bogus near depth; the
-                # isfinite-and-positive term fuses into the min-compare.
-                covered = ((jnp.minimum(alpha, jnp.minimum(beta, gamma))
-                            >= 0.0)
-                           & jnp.isfinite(w) & (w > 0.0))
-                ids = (k * tri_chunk + jax.lax.broadcasted_iota(
-                    jnp.int32, (tri_chunk, tile_pix), 0))
-                wkey = ((jax.lax.bitcast_convert_type(w, jnp.int32)
-                         & ~id_mask) | (id_mask - ids))
-                cand = jnp.where(covered, wkey, 0)
-                return jnp.maximum(best, cand.max(axis=0, keepdims=True))
+                def compute(best, s=s):
+                    # Inverse-depth (w) max packing: the nearest triangle
+                    # has the LARGEST w, and positive f32 bits are
+                    # order-preserving as int32, so the whole depth
+                    # resolution (reciprocal, rounding, clipping, shifting)
+                    # moves out of the (triangle x pixel) loop into a
+                    # once-per-pixel epilogue. The low TRI_ID_BITS mantissa
+                    # bits carry the COMPLEMENTED triangle id (ties resolve
+                    # toward the smaller id, matching the reference's
+                    # min-key tie-break) at a w quantisation of 2^-12
+                    # relative — resolved depth moves by <= 0.25 mm at 1 m,
+                    # de-biased by the half-step in the epilogue.
+                    lo = k * tri_chunk + s * sub
+                    c = coef_ref[pl.ds(lo, sub), :]             # [SUB, 16]
+                    beta = c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
+                    gamma = c[:, 3:4] * px + c[:, 4:5] * py + c[:, 5:6]
+                    alpha = c[:, 6:7] * px + c[:, 7:8] * py + c[:, 8:9]
+                    w = c[:, 9:10] * px + c[:, 10:11] * py + c[:, 11:12]
+                    # Non-positive w loses naturally (negative int bits < 0
+                    # init), but +Inf/NaN w — a vertex at/crossing the
+                    # camera plane that survives upstream culling —
+                    # bitcasts to a huge positive key and would win with a
+                    # bogus near depth; the isfinite-and-positive term
+                    # fuses into the min-compare.
+                    covered = ((jnp.minimum(alpha, jnp.minimum(beta, gamma))
+                                >= 0.0)
+                               & jnp.isfinite(w) & (w > 0.0))
+                    ids = (lo + jax.lax.broadcasted_iota(
+                        jnp.int32, (sub, tile_pix), 0))
+                    wkey = ((jax.lax.bitcast_convert_type(w, jnp.int32)
+                             & ~id_mask) | (id_mask - ids))
+                    cand = jnp.where(covered, wkey, 0)
+                    return jnp.maximum(best, cand.max(axis=0, keepdims=True))
 
-            return jax.lax.cond(overlap, compute, lambda b: b, best)
+                best = jax.lax.cond(overlap, compute, lambda b: b, best)
+            return best
 
         init = jnp.zeros((1, tile_pix), dtype=jnp.int32)
         best = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
@@ -351,10 +376,13 @@ def rasterize_direct_pallas(
     proj16 = jnp.zeros((8, 16), jnp.float32)
     proj16 = proj16.at[0, :12].set(proj[:3, :].reshape(12))
 
+    sub = SUB_BBOX if (0 < SUB_BBOX < tri_chunk
+                       and tri_chunk % SUB_BBOX == 0) else tri_chunk
+    n_sub = tri_chunk // sub
     kernel = functools.partial(
         _kernel, width=width, height=height, stride=stride,
         n_chunks=n_chunks, n_tiles=n_tiles, tri_chunk=tri_chunk,
-        roi_w=roi_w, tile_pix=tile_pix)
+        roi_w=roi_w, tile_pix=tile_pix, sub=sub, n_sub=n_sub)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # anchors, model_ids
         grid=(n,),
@@ -372,7 +400,8 @@ def rasterize_direct_pallas(
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((t, 16), jnp.float32),
-                        pltpu.SMEM((4, max(8, n_chunks)), jnp.float32)],
+                        pltpu.SMEM((4, max(8, n_chunks * n_sub)),
+                                   jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,

@@ -224,6 +224,38 @@ def test_direct_raster_sub_batch_parity(monkeypatch):
     np.testing.assert_array_equal(np.asarray(ragged), np.asarray(ref))
 
 
+def test_direct_raster_sub_bbox_parity(monkeypatch):
+    """PT_SUB_BBOX splits each triangle chunk into morton-local sub-slices
+    with their own cull bboxes; the packed-max merge is associative, so the
+    output must match the whole-chunk path EXACTLY (culling is conservative:
+    a skipped sub-chunk cannot contain a covered pixel)."""
+    from perception_tpu.ops import pallas_raster_direct as prd
+
+    bank, poses, ids = _setup_two_models(n_poses=6, seed=11)
+    proj = jnp.asarray(CAM.projection())
+    v16 = prd.pack_bank_verts(
+        bank.tri_verts, bank.tri_valid, jnp.asarray(bank.backface_cull))
+    anchors = jnp.zeros((6, 2), jnp.int32)
+    kwargs = dict(width=CAM.width, height=CAM.height, stride=2,
+                  interpret=True)
+    call = prd.rasterize_direct_pallas.__wrapped__  # bypass the jit cache
+
+    ref = call(
+        v16, jnp.asarray(poses), jnp.asarray(ids), anchors, proj, **kwargs)
+    t = v16.shape[2]
+    tri_chunk = min(prd.TRI_CHUNK, t)
+    assert tri_chunk % 2 == 0, "test bank must split evenly"
+    monkeypatch.setattr(prd, "SUB_BBOX", tri_chunk // 2)
+    split = call(
+        v16, jnp.asarray(poses), jnp.asarray(ids), anchors, proj, **kwargs)
+    np.testing.assert_array_equal(np.asarray(split), np.asarray(ref))
+    # A non-dividing granularity falls back to whole-chunk bboxes.
+    monkeypatch.setattr(prd, "SUB_BBOX", max(3, tri_chunk // 2 - 1))
+    fallback = call(
+        v16, jnp.asarray(poses), jnp.asarray(ids), anchors, proj, **kwargs)
+    np.testing.assert_array_equal(np.asarray(fallback), np.asarray(ref))
+
+
 def test_pallas_knn_interpret_matches_xla(rng):
     n, p, s = 2, 40, 70
     q = rng.normal(size=(n, p, 3)).astype(np.float32)
