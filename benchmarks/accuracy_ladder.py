@@ -243,7 +243,11 @@ def main() -> None:
                 if ln.startswith("{")]
         if not line:
             print(out[-3000:])
-            results[name] = {"error": rc}
+            # Persist the failure signature: a rung that dies at full scale
+            # but passes small-scale repros (round-3 samples_240@kinect)
+            # is only root-causable from the captured tail.
+            results[name] = {"error": rc, "log_tail": out[-1500:]}
+            _merge_into_json(results)
             continue
         results[name] = json.loads(line[-1])
         r = results[name]
