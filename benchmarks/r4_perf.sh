@@ -32,4 +32,9 @@ for SB in 64 32 128; do
     L "sb$SB: $(cat /tmp/r4p_bench_sb$SB.json)"
     sleep 20
 done
+
+L tpu-lane tests (compiled kernels on the real chip)
+bash benchmarks/run_tpu.sh /tmp/r4p_tpulane.log \
+    env PT_TPU_TESTS=1 python -m pytest tests/test_tpu_lane.py -q
+L "tpu-lane: $(tail -1 /tmp/r4p_tpulane.log)"
 L done
