@@ -168,7 +168,8 @@ def main() -> None:
     # budget); everything else batches monolithically.
     n_poses = int(os.environ.get("BENCH_POSES", 2048))
     env, cands, args, cfg = build_bench_problem(n_poses=n_poses)
-    cfg = dataclasses.replace(cfg, icp_max_iterations=20)
+    cfg = dataclasses.replace(
+        cfg, icp_max_iterations=int(os.environ.get("BENCH_ICP_ITERS", "20")))
     (btv, btc, bvl, poses, mids, labels, totals, proj, scene) = args
 
     def step(p):

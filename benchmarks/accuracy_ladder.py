@@ -96,6 +96,15 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
                        {"PT_DECIMATE": "qem", "PT_RENDER_LOD": "0"}),
     "hires_cluster_lod0": (["--models=zoo_hires"],
                            {"PT_DECIMATE": "cluster", "PT_RENDER_LOD": "0"}),
+    # Round 4: ICP iteration-bound pricing. The LOD-256 default flip moved
+    # the bench bottleneck from raster to ICP (profile_ablate: no_icp 16.3ms
+    # vs full-icp20 34.0ms per 2048-pose batch), so the iteration bound is
+    # now the cheapest throughput lever — IF the AUC survives. The fused
+    # kernel's per-pose early exit (pallas_icp.py step-epsilon + stagnation
+    # streak) should make the bound mostly slack at convergence.
+    "icp_iters_20": ([], {"PT_ICP_ITERS": "20"}),
+    "icp_iters_12": ([], {"PT_ICP_ITERS": "12"}),
+    "icp_iters_8": ([], {"PT_ICP_ITERS": "8"}),
 }
 
 

@@ -115,7 +115,8 @@ def build_env(model_set: str = "zoo"):
     perch = PerchConfig(gpu_stride=4, gpu_batch_size=1024,
                         sensor_resolution=0.015,
                         min_neighbor_points_for_valid_pose=8,
-                        max_icp_iterations=30,
+                        max_icp_iterations=int(
+                            os.environ.get("PT_ICP_ITERS", "30")),
                         use_color_cost=os.environ.get("PT_COLOR_COST") == "1")
     # Env-var knob overrides; ABSENT vars defer to the EnvConfig defaults
     # (so benchmark runs measure the shipped configuration).
