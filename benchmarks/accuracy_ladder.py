@@ -105,6 +105,13 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "icp_iters_20": ([], {"PT_ICP_ITERS": "20"}),
     "icp_iters_12": ([], {"PT_ICP_ITERS": "12"}),
     "icp_iters_8": ([], {"PT_ICP_ITERS": "8"}),
+    # Round 4: the capstone re-based on the exact-covariance fused D2D
+    # refiner, which paired-beats the default refiner by +3.21 [1.06, 5.34]
+    # @kinect (fused_d2d_exact@kinect vs default@kinect) — if the edge
+    # composes with color+refine2+s240 this is the new accuracy headline.
+    "capstone_d2dexact": (["--samples=240"],
+                          {"PT_COLOR_COST": "1", "PT_REFINE_ROUNDS": "2",
+                           "PT_ICP_MODE": "fused_d2d_exact"}),
 }
 
 

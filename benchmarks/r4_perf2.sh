@@ -31,6 +31,13 @@ python benchmarks/accuracy_ladder.py 150 \
 tail -8 /tmp/r4p2_ladder.log
 sleep 20
 
+L "ladder: capstone on the exact fused D2D refiner (@kinect)"
+python benchmarks/accuracy_ladder.py 150 --rungs=capstone_d2dexact \
+    --noise=kinect --timeout=1800 \
+    > /tmp/r4p2_capstone.log 2>&1
+tail -4 /tmp/r4p2_capstone.log
+sleep 20
+
 L "bench confirm: BENCH_ICP_ITERS=12 bumpy1024"
 BENCH_ICP_ITERS=12 BENCH_MODELS=bumpy1024 python bench.py \
     > /tmp/r4p2_bench_i12.json 2> /tmp/r4p2_bench_i12.err
