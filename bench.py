@@ -207,6 +207,13 @@ def main() -> None:
                  "backend_compile_s": round(t2 - t1, 1),
                  "first_exec_s": round(t3 - t2, 1)}
 
+    # Warm jit's dispatch cache: the AOT lower()/compile() above does NOT
+    # populate it, so without this the first jitted call inside the timed
+    # loop silently re-traces and re-loads the executable from the
+    # persistent cache (r4 advisor finding). best=min keeps the number
+    # honest either way; this keeps rep 1 from wasting tunnel wall-clock.
+    float(repeated(poses, 1))
+
     inner = 10
     best = float("inf")
     for _ in range(3):

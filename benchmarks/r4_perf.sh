@@ -33,7 +33,7 @@ for SB in 64 32 128; do
     sleep 20
 done
 
-L tpu-lane tests (compiled kernels on the real chip)
+L "tpu-lane tests (compiled kernels on the real chip)"
 bash benchmarks/run_tpu.sh /tmp/r4p_tpulane.log \
     env PT_TPU_TESTS=1 python -m pytest tests/test_tpu_lane.py -q
 L "tpu-lane: $(tail -1 /tmp/r4p_tpulane.log)"

@@ -173,16 +173,8 @@ class EnvConfig:
                                               # lod128 was the CLUSTERING
                                               # decimator). 0 restores the
                                               # full bank.
-    icp_crop_targets: int = 128               # per-pose target crop for the
-                                              # fused/NN ICP sweep (0 = off).
-                                              # Default 128 since round 4:
-                                              # paired 150-scene TPU delta vs
-                                              # crop 256 is -0.05
-                                              # [-1.24, +1.22] (neutral) and
-                                              # the fused-ICP stage drops
-                                              # ~5 ms/2048-pose batch
-                                              # (60.3k -> 70.6k poses/s
-                                              # end-to-end, profile_ablate).
+    icp_crop_targets: int = 256               # per-pose target crop for the
+                                              # fused/NN ICP sweep (0 = off)
     cost_crop_targets: int = 256              # cost-stage target prefix cap
                                               # (exact for segments with <=
                                               # cap valid points — segments
@@ -318,7 +310,8 @@ class EnvConfig:
         point deltas in the field comments / accuracy_ladder.json). Use
         when throughput matters more than the last ~2 AUC."""
         return dataclasses.replace(
-            self, icp_source="model", icp_stagnation_streak=5)
+            self, icp_source="model", icp_stagnation_streak=5,
+            icp_crop_targets=128)
 
 
 def load_yaml_config(path: str) -> tuple[PerchConfig, EnvConfig]:

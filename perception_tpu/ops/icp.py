@@ -155,37 +155,34 @@ def solve_spd_6x6(h: jax.Array, g: jax.Array) -> jax.Array:
 
 def crop_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
                  centers: jax.Array, k: int) -> jax.Array:
-    """Indices [N, k] of a per-pose target crop — a one-time selection
-    that shrinks every ICP iteration's NN sweep (the sweep is the
-    per-iteration cost, so only k matters there; the selection itself
-    runs once).
-
-    Selection: every 2nd of the 2k (approximately) nearest points to the
-    pose centre — the spatial EXTENT of a 2k-crop at half density. Taking
-    the k nearest instead keeps only a flat central patch of a large
-    close-up object face, and point-to-plane GN on a single plane is
-    tangentially unconstrained and runs away: at k=128 on a stride-2 box
-    segment of ~1024 points, a GROUND-TRUTH start drifted 581 mm
-    (camera_loop frame, r4); the 2k-stride-2 selection measured 6.3 mm on
-    the same scene and matches the plain 256-crop's convergence floor on
-    the offset-start test (9.52 vs 9.53 mm) while halving the per-
-    iteration sweep. Interleaving (::2) rather than truncating keeps the
-    density gradient: near the centre the kept points are ~as dense as
-    the raw cloud at twice the spacing, and the crop boundary (where
-    correspondences are distance-gated anyway) thins out last. Invalid
-    targets sort last and carry their validity through the gather.
+    """Indices [N, k] of (approximately) the k target points nearest each
+    pose centre — a one-time selection that shrinks every ICP iteration's
+    NN sweep. Invalid targets sort last and stay invalid after the gather.
 
     Uses TPU-optimised `approx_max_k` (recall ~0.95): the crop is a
     preselection with a generous margin around the object, so swapping a
     few boundary points for slightly farther ones does not change the
     in-range correspondences the GN steps actually use. (Exact top_k
     lowers to a full sort on TPU — measured several ms per 2048-pose
-    batch.)"""
+    batch.)
+
+    Round-4 probe notes (why this stays plain top-k and the shipped
+    default stays 256): at small k the plain crop keeps only a flat
+    central patch of a large close-up object face, and point-to-plane GN
+    on a single plane is tangentially unconstrained — plain k=128 from a
+    GROUND-TRUTH start drifted 581 mm on the camera_loop frame. An
+    every-2nd-of-2k interleaved selection (2k extent at half density)
+    fixed that runaway (6.3 mm) but regressed the in-process camera-loop
+    localisation from <5 mm to 6.3 mm and broke refinement-improves-cost
+    on the pipeline test, with no 150-scene ladder run on the changed
+    code — so it was backed out at the start of round 5. k=128 remains
+    aggregate-neutral on the 150-scene ladder (icp_crop_128 rung, paired
+    -0.05 [-1.24, +1.22]) but carries the single-plane risk; the
+    accuracy-first default is 256 and the perf profile opts into 128."""
     d = jnp.sum((tgt_xyz - centers[:, None, :]) ** 2, axis=-1)
     d = jnp.where(tgt_valid, d, jnp.inf)
-    k2 = min(2 * k, tgt_xyz.shape[1])
-    _, idx = jax.lax.approx_max_k(-d, k2)
-    return idx[:, ::2] if k2 == 2 * k else idx[:, :k]
+    _, idx = jax.lax.approx_max_k(-d, k)
+    return idx
 
 
 def _gn_step(cur, q, nrm, w, converged, pp_weight=0.0, damping=1e-4):

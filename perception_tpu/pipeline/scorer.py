@@ -91,10 +91,7 @@ class ScorerConfig:
     icp_rotation_epsilon: float = 2e-3
     icp_transformation_epsilon: float = 5e-4
     icp_downsample: int = 4
-    icp_crop_targets: int = 128   # per-pose target crop for NN ICP (0 = off);
-                                  # 128 paired-neutral vs 256 (-0.05
-                                  # [-1.24, +1.22], 150-scene TPU) and ~17%
-                                  # faster end-to-end
+    icp_crop_targets: int = 256   # per-pose target crop for NN ICP (0 = off)
     icp_render_scale: int = 1     # >1: render the pre-ICP pass at
                                   # stride*scale (the ICP source cloud is
                                   # downsampled anyway; replaces

@@ -250,7 +250,11 @@ def test_direct_raster_sub_bbox_parity(monkeypatch):
         v16, jnp.asarray(poses), jnp.asarray(ids), anchors, proj, **kwargs)
     np.testing.assert_array_equal(np.asarray(split), np.asarray(ref))
     # A non-dividing granularity falls back to whole-chunk bboxes.
-    monkeypatch.setattr(prd, "SUB_BBOX", max(3, tri_chunk // 2 - 1))
+    # tri_chunk - 1 never divides tri_chunk for tri_chunk > 2 (r4 advisor:
+    # tri_chunk // 2 - 1 can accidentally divide it, e.g. 6 -> 3, silently
+    # testing a valid split instead of the fallback).
+    assert tri_chunk > 3
+    monkeypatch.setattr(prd, "SUB_BBOX", tri_chunk - 1)
     fallback = call(
         v16, jnp.asarray(poses), jnp.asarray(ids), anchors, proj, **kwargs)
     np.testing.assert_array_equal(np.asarray(fallback), np.asarray(ref))
