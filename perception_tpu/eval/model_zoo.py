@@ -299,6 +299,17 @@ _ZOO = {
 }
 
 
+def zoo_raw_geometry(name: str, resolution: float = 1.0
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
+    """Raw (verts, faces, colors, symmetric) for one zoo shape — for
+    exporting the zoo as on-disk model files (dataset_gen.write_zoo_plys)
+    so generation and recognition load the SAME bytes through the real
+    mesh loader."""
+    gen, symmetric = _ZOO[name]
+    v, f, c = gen(res=resolution) if resolution != 1.0 else gen()
+    return v, f, c, symmetric
+
+
 def build_zoo_models(names: list[str] | None = None,
                      resolution: float = 1.0,
                      target_triangles: int | None = None,
