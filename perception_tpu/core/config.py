@@ -313,6 +313,17 @@ class EnvConfig:
             self, icp_source="model", icp_stagnation_streak=5,
             icp_crop_targets=128)
 
+    def noisy_profile(self) -> "EnvConfig":
+        """The documented real-sensor profile: the exact-covariance fused
+        D2D refiner, which wins +3.21 [+1.06, +5.34] paired AUC over the
+        p2p default UNDER THE KINECT NOISE MODEL at ~2x scene latency
+        (0.81 vs 0.43 s/scene) but is n.s. NEGATIVE noise-free (-1.08
+        [-3.17, +0.89]) — so it does not meet the default-flip rule
+        (positive or speed-neutral on the default noise-free harness; see
+        ARCHITECTURE.md "Default-flip decision rule") and ships as the
+        recommended opt-in for physical depth cameras instead."""
+        return dataclasses.replace(self, icp_mode="fused_d2d_exact")
+
 
 def load_yaml_config(path: str) -> tuple[PerchConfig, EnvConfig]:
     import yaml

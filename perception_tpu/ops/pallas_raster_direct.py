@@ -77,6 +77,12 @@ TRI_CHUNK = int(_os.environ.get("PT_TRI_CHUNK", 256))
 # because the finer setup transposes run at half lane utilisation; this
 # keeps setup at 256 and only splits the raster loop, which is
 # associativity-exact (same packed-min result).
+#
+# On-chip A/B at the bumpy1024 bench, round 4 (baseline 61.1k poses/s):
+# 64 -> 61.3k (+0.3%, noise), 32 -> 59.7k (-2%), and 128 -> 2.66k — a
+# 26x SLOWDOWN despite being a valid divisor of TRI_CHUNK (Mosaic lowers
+# the [16, 128] slice loop pathologically). Off by default; do not ship
+# 128.
 SUB_BBOX = int(_os.environ.get("PT_SUB_BBOX", 0))
 # Scalar-prefetch operands live in SMEM scoped to the whole grid; beyond
 # this many poses the anchors/ids buffer blows the 1 MB SMEM budget
