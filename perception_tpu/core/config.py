@@ -175,6 +175,13 @@ class EnvConfig:
                                               # full bank.
     icp_crop_targets: int = 256               # per-pose target crop for the
                                               # fused/NN ICP sweep (0 = off)
+    icp_crop_mode: str = "near"               # "near" | "spread": plain
+                                              # nearest-k vs valid-
+                                              # preferring interleave over
+                                              # the 2k nearest (fixes the
+                                              # single-plane runaway at
+                                              # small k; ops/icp.py
+                                              # crop_targets)
     cost_crop_targets: int = 256              # cost-stage target prefix cap
                                               # (exact for segments with <=
                                               # cap valid points — segments

@@ -154,10 +154,11 @@ def solve_spd_6x6(h: jax.Array, g: jax.Array) -> jax.Array:
 
 
 def crop_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
-                 centers: jax.Array, k: int) -> jax.Array:
-    """Indices [N, k] of (approximately) the k target points nearest each
-    pose centre — a one-time selection that shrinks every ICP iteration's
-    NN sweep. Invalid targets sort last and stay invalid after the gather.
+                 centers: jax.Array, k: int,
+                 mode: str = "near") -> jax.Array:
+    """Indices [N, k] of a per-pose target crop — a one-time selection
+    that shrinks every ICP iteration's NN sweep. Invalid targets sort
+    last and stay invalid after the gather.
 
     Uses TPU-optimised `approx_max_k` (recall ~0.95): the crop is a
     preselection with a generous margin around the object, so swapping a
@@ -166,23 +167,41 @@ def crop_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
     lowers to a full sort on TPU — measured several ms per 2048-pose
     batch.)
 
-    Round-4 probe notes (why this stays plain top-k and the shipped
-    default stays 256): at small k the plain crop keeps only a flat
-    central patch of a large close-up object face, and point-to-plane GN
-    on a single plane is tangentially unconstrained — plain k=128 from a
-    GROUND-TRUTH start drifted 581 mm on the camera_loop frame. An
-    every-2nd-of-2k interleaved selection (2k extent at half density)
-    fixed that runaway (6.3 mm) but regressed the in-process camera-loop
-    localisation from <5 mm to 6.3 mm and broke refinement-improves-cost
-    on the pipeline test, with no 150-scene ladder run on the changed
-    code — so it was backed out at the start of round 5. k=128 remains
-    aggregate-neutral on the 150-scene ladder (icp_crop_128 rung, paired
-    -0.05 [-1.24, +1.22]) but carries the single-plane risk; the
-    accuracy-first default is 256 and the perf profile opts into 128."""
+    mode="near" (default): the plain k nearest. Round-4 probe notes: at
+    small k this keeps only a flat central patch of a large close-up
+    object face, and point-to-plane GN on a single plane is tangentially
+    unconstrained — plain k=128 from a GROUND-TRUTH start drifted 581 mm
+    on the camera_loop frame. k=128 is aggregate-neutral on the
+    150-scene ladder (icp_crop_128 rung, paired -0.05 [-1.24, +1.22])
+    but carries that single-plane tail risk, so the accuracy-first
+    default stays 256 and the perf profile opts into 128.
+
+    mode="spread": valid-preferring interleave over the ~2k nearest —
+    the spatial EXTENT of a 2k-crop at half density, which fixes the
+    single-plane runaway (6.3 mm on the probe frame above). Candidates
+    are ranked (invalid last) by (position parity, position / 2) over
+    the distance-ordered 2k prefix: every 2nd candidate first (the
+    half-density spread), the skipped ones as densifying fill — so the
+    kept VALID count stays min(V, k) rather than the plain interleave's
+    ceil(V / 2) (advisor finding, round 4), and segments with fewer than
+    2k candidates interleave what exists instead of falling back to the
+    flat nearest-k patch."""
     d = jnp.sum((tgt_xyz - centers[:, None, :]) ** 2, axis=-1)
     d = jnp.where(tgt_valid, d, jnp.inf)
-    _, idx = jax.lax.approx_max_k(-d, k)
-    return idx
+    s = tgt_xyz.shape[1]
+    if mode == "near" or k >= s:
+        _, idx = jax.lax.approx_max_k(-d, min(k, s))
+        return idx
+    if mode != "spread":
+        raise ValueError(f"unknown crop mode {mode!r}")
+    k2 = min(2 * k, s)
+    _, idx = jax.lax.approx_max_k(-d, k2)       # ascending distance
+    pos = jnp.arange(k2)
+    rank = (pos % 2) * k2 + pos // 2            # evens first, odds fill
+    cand_valid = jnp.take_along_axis(tgt_valid, idx, axis=1)
+    rank = jnp.where(cand_valid, rank[None, :], rank[None, :] + 2 * k2)
+    order = jnp.argsort(rank, axis=1)[:, :k]    # one-time [N, 2k] sort
+    return jnp.take_along_axis(idx, order, axis=1)
 
 
 def _gn_step(cur, q, nrm, w, converged, pp_weight=0.0, damping=1e-4):

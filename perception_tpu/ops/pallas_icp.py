@@ -40,6 +40,7 @@ trace-scaled damping, no step clamping.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 # in pipeline/env.py _resolve_streak_env — the explicit argument here is
 # authoritative; reading os.environ inside the jitted body would capture
 # a stale value on cached retraces.
-_GROUP = 4
+_GROUP = int(os.environ.get("PT_ICP_GROUP", 4))
 
 
 def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
@@ -535,7 +536,7 @@ def pack_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
 @functools.partial(jax.jit, static_argnames=(
     "max_iterations", "max_correspondence", "damping", "nn_every",
     "rotation_epsilon", "transformation_epsilon", "stagnation_streak",
-    "d2d_epsilon", "exact", "interpret"))
+    "d2d_epsilon", "exact", "interpret", "group"))
 def icp_fused_pallas(
     src_xyz: jax.Array,      # [N, P, 3]
     src_valid: jax.Array,    # [N, P]
@@ -554,6 +555,7 @@ def icp_fused_pallas(
     d2d_epsilon: float = 0.0,
     exact: bool = False,
     interpret: bool = False,
+    group: int | None = None,
 ) -> jax.Array:
     """Camera-frame corrections [N, 4, 4] (pose' = delta @ pose).
 
@@ -570,12 +572,13 @@ def icp_fused_pallas(
     sym = src_normals is not None and d2d_epsilon > 0.0
     if exact and not sym:
         raise ValueError("exact=True needs d2d_epsilon > 0 and src_normals")
+    grp = int(group) if group else _GROUP
     n, p, _ = src_xyz.shape
     s = tgt_packed.shape[1]
     # Pad P to lanes, S to sublanes, N to the pose group size.
     p_pad = ((p + 127) // 128) * 128
     s_pad = ((s + 7) // 8) * 8
-    n_pad = ((n + _GROUP - 1) // _GROUP) * _GROUP
+    n_pad = ((n + grp - 1) // grp) * grp
 
     src_t = jnp.transpose(src_xyz, (0, 2, 1))
     if sym:
@@ -605,7 +608,7 @@ def icp_fused_pallas(
         tgt8 = tgt8.at[n:, :, 7].set(jnp.inf)
 
     kernel = functools.partial(
-        _icp_kernel, g=_GROUP, p=p_pad, s=s_pad,
+        _icp_kernel, g=grp, p=p_pad, s=s_pad,
         max_iterations=max_iterations,
         max_corr_sq=max_correspondence * max_correspondence, damping=damping,
         nn_every=nn_every,
@@ -615,16 +618,16 @@ def icp_fused_pallas(
         d2d_epsilon=float(d2d_epsilon), sym=sym, exact=bool(exact))
     out = pl.pallas_call(
         kernel,
-        grid=(n_pad // _GROUP,),
+        grid=(n_pad // grp,),
         in_specs=[
-            pl.BlockSpec((_GROUP, src_rows, p_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((grp, src_rows, p_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_GROUP, 1, p_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((grp, 1, p_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_GROUP, s_pad, 8), lambda i: (i, 0, 0),
+            pl.BlockSpec((grp, s_pad, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_GROUP, 8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((grp, 8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 8, 128), jnp.float32),
         interpret=interpret,

@@ -472,6 +472,7 @@ class PerceptionEnv:
             icp_downsample=env.icp_downsample,
             icp_render_scale=env.icp_render_scale,
             icp_crop_targets=env.icp_crop_targets,
+            icp_crop_mode=env.icp_crop_mode,
             cost_crop_targets=env.cost_crop_targets,
             icp_source=env.icp_source,
             cost_cloud=env.cost_cloud,

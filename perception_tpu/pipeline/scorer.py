@@ -92,6 +92,9 @@ class ScorerConfig:
     icp_transformation_epsilon: float = 5e-4
     icp_downsample: int = 4
     icp_crop_targets: int = 256   # per-pose target crop for NN ICP (0 = off)
+    icp_crop_mode: str = "near"   # "near" | "spread" (ops/icp.py
+                                  # crop_targets: plain nearest-k vs
+                                  # valid-preferring interleave over 2k)
     icp_render_scale: int = 1     # >1: render the pre-ICP pass at
                                   # stride*scale (the ICP source cloud is
                                   # downsampled anyway; replaces
@@ -371,7 +374,8 @@ def score_pose_batch(
             else:
                 centers = (jnp.sum(src_xyz * src_valid[..., None], axis=1)
                            / jnp.maximum(src_valid.sum(axis=1), 1)[:, None])
-                cidx = crop_targets(tgt_xyz, tgt_valid, centers, k)
+                cidx = crop_targets(tgt_xyz, tgt_valid, centers, k,
+                                    mode=cfg.icp_crop_mode)
                 tgt_pk = seg_pk[labels[:, None], cidx]
             fused_src_nrm = None
             if (cfg.icp_mode == "fused_d2d_exact"

@@ -329,3 +329,47 @@ def test_gicp_underdetermined_identity():
         jnp.asarray(src), jnp.asarray(valid), jnp.asarray(nrm),
         max_iterations=5, max_correspondence=0.1)
     np.testing.assert_allclose(np.asarray(res.delta[0]), np.eye(4), atol=1e-6)
+
+
+def test_crop_targets_spread_selection():
+    """mode="spread" keeps min(V, k) valid points, covers the 2k extent at
+    half density, and fills from the skipped near candidates (r4 advisor
+    findings on the round-4 interleave)."""
+    from perception_tpu.ops.icp import crop_targets
+
+    s, k = 64, 8
+    # Targets on a line at increasing distance from the centre.
+    xyz = np.zeros((1, s, 3), np.float32)
+    xyz[0, :, 0] = np.arange(s) * 0.01
+    centers = np.zeros((1, 3), np.float32)
+
+    # All valid: selection = every 2nd of the 2k nearest.
+    valid = np.ones((1, s), bool)
+    idx = np.asarray(crop_targets(jnp.asarray(xyz), jnp.asarray(valid),
+                                  jnp.asarray(centers), k, mode="spread"))[0]
+    assert sorted(idx.tolist()) == [0, 2, 4, 6, 8, 10, 12, 14]
+
+    # Half the even candidates invalid: valid count stays k (odd positions
+    # densify), never ceil(V/2) + padding.
+    valid2 = np.ones((1, s), bool)
+    valid2[0, [0, 4, 8, 12]] = False
+    idx2 = np.asarray(crop_targets(jnp.asarray(xyz), jnp.asarray(valid2),
+                                   jnp.asarray(centers), k, mode="spread"))[0]
+    assert valid2[0, idx2].all()
+    assert len(set(idx2.tolist())) == k
+
+    # Fewer than k valid points: every valid point is kept.
+    valid3 = np.zeros((1, s), bool)
+    valid3[0, :5] = True
+    idx3 = np.asarray(crop_targets(jnp.asarray(xyz), jnp.asarray(valid3),
+                                   jnp.asarray(centers), k, mode="spread"))[0]
+    assert set(np.arange(5)) <= set(idx3.tolist())
+
+    # k <= S < 2k: interleaves what exists rather than truncating to the
+    # flat nearest-k patch (positions beyond k must appear).
+    xyz4 = xyz[:, :12]
+    valid4 = np.ones((1, 12), bool)
+    idx4 = np.asarray(crop_targets(jnp.asarray(xyz4), jnp.asarray(valid4),
+                                   jnp.asarray(centers), k, mode="spread"))[0]
+    assert (idx4 >= k).any()
+    assert len(set(idx4.tolist())) == k
