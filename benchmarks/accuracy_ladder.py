@@ -105,6 +105,15 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "icp_iters_20": ([], {"PT_ICP_ITERS": "20"}),
     "icp_iters_12": ([], {"PT_ICP_ITERS": "12"}),
     "icp_iters_8": ([], {"PT_ICP_ITERS": "8"}),
+    # Round 5: the valid-preferring interleaved crop selection
+    # (ops/icp.py crop_targets mode="spread") — fixes the single-plane
+    # runaway that keeps the plain crop at 256; if spread@128 is
+    # paired-neutral vs default, crop 128 can finally ship as default
+    # WITH its selection evidence attached (r4's icp_crop_128 rung
+    # priced the plain selection).
+    "crop128_spread": ([], {"PT_ICP_CROP_TARGETS": "128",
+                            "PT_ICP_CROP_MODE": "spread"}),
+    "crop256_spread": ([], {"PT_ICP_CROP_MODE": "spread"}),
     # Round 4: the capstone re-based on the exact-covariance fused D2D
     # refiner, which paired-beats the default refiner by +3.21 [1.06, 5.34]
     # @kinect (fused_d2d_exact@kinect vs default@kinect) — if the edge

@@ -116,7 +116,11 @@ def build_env(model_set: str = "zoo"):
                         sensor_resolution=0.015,
                         min_neighbor_points_for_valid_pose=8,
                         max_icp_iterations=int(
-                            os.environ.get("PT_ICP_ITERS", "30")),
+                            # Follows the shipped PerchConfig default (20
+                            # since round 5; the r4 ladder's default rung
+                            # ran the then-hardcoded 30 — paired delta
+                            # 20-vs-30 is -0.57 [-1.46, +0.32], neutral).
+                            os.environ.get("PT_ICP_ITERS", "20")),
                         use_color_cost=os.environ.get("PT_COLOR_COST") == "1")
     # Env-var knob overrides; ABSENT vars defer to the EnvConfig defaults
     # (so benchmark runs measure the shipped configuration).
@@ -126,6 +130,7 @@ def build_env(model_set: str = "zoo"):
             ("PT_ROI_SIZE", "roi_size", int),
             ("PT_ICP_RENDER_SCALE", "icp_render_scale", int),
             ("PT_ICP_CROP_TARGETS", "icp_crop_targets", int),
+            ("PT_ICP_CROP_MODE", "icp_crop_mode", str),
             ("PT_COST_CROP_TARGETS", "cost_crop_targets", int),
             ("PT_ICP_SOURCE", "icp_source", str),
             ("PT_ICP_MODE", "icp_mode", str),

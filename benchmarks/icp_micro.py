@@ -46,16 +46,39 @@ def main() -> None:
     # Synthetic but bench-shaped inputs: a smooth target surface patch with
     # normals, sources = perturbed subsets (so the GN iterations behave like
     # refinement, not divergence).
-    tgt = np.stack([rng.uniform(0.4, 0.8, (s_full,)),
-                    rng.uniform(-0.3, 0.3, (s_full,)),
-                    0.05 * np.sin(8 * rng.uniform(0, 1, (s_full,)))], -1)
-    nrm = np.tile([0.0, 0.0, 1.0], (s_full, 1))
+    # Curved target patch (so the GN system is well-conditioned) with
+    # bench-like perturbations: sources are a rotated+shifted subset
+    # (0.15 rad / 2 cm, the bench candidate jitter) — small-noise sources
+    # converge in ~2 iterations and hide the per-iteration marginal
+    # (first run of this script did exactly that).
+    u = rng.uniform(0, 1, (s_full,))
+    v = rng.uniform(0, 1, (s_full,))
+    tgt = np.stack([0.55 + 0.25 * (u - 0.5),
+                    0.5 * (v - 0.5),
+                    0.08 * np.sin(6 * u) * np.cos(5 * v)], -1)
+    nrm = np.stack([-0.48 * np.cos(6 * u) * np.cos(5 * v),
+                    0.4 * np.sin(6 * u) * np.sin(5 * v),
+                    np.ones(s_full)], -1)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
     tgt_xyz = jnp.asarray(np.tile(tgt[None], (n, 1, 1)), jnp.float32)
     tgt_valid = jnp.ones((n, s_full), bool)
     seg_pk_full = pack_targets(tgt_xyz, tgt_valid,
                                jnp.asarray(np.tile(nrm[None], (n, 1, 1)),
                                            jnp.float32))
-    src = tgt[rng.integers(0, s_full, (n, p))] + rng.normal(0, 0.01, (n, p, 3))
+
+    def rot(angles):
+        cx, cy, cz = np.cos(angles)
+        sx, sy, sz = np.sin(angles)
+        rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        return rz @ ry @ rx
+
+    src = tgt[rng.integers(0, s_full, (n, p))]
+    centers0 = src.mean(axis=1, keepdims=True)
+    rots = np.stack([rot(rng.normal(0, 0.15, 3)) for _ in range(n)])
+    src = (np.einsum("nij,npj->npi", rots, src - centers0) + centers0
+           + rng.normal(0, 0.02, (n, 1, 3)))
     src_xyz = jnp.asarray(src, jnp.float32)
     src_valid = jnp.ones((n, p), bool)
 
@@ -65,13 +88,27 @@ def main() -> None:
               f"{sec / n * 1e6:7.2f} us/pose", flush=True)
         return sec
 
-    # --- pre-kernel block: centers + crop + gather ---------------------
-    def crop_block(sxyz):
+    # --- pre-kernel block: centers + crop + gather, decomposed ---------
+    def dist_only(sxyz):
         centers = jnp.mean(sxyz, axis=1)
-        cidx = crop_targets(tgt_xyz, tgt_valid, centers, k)
+        d = jnp.sum((tgt_xyz - centers[:, None, :]) ** 2, axis=-1)
+        return jnp.where(tgt_valid, d, jnp.inf)
+
+    def dist_topk(sxyz):
+        _, idx = jax.lax.approx_max_k(-dist_only(sxyz), k)
+        return idx
+
+    def crop_block(sxyz, mode="near", kk=k):
+        centers = jnp.mean(sxyz, axis=1)
+        cidx = crop_targets(tgt_xyz, tgt_valid, centers, kk, mode=mode)
         return jnp.take_along_axis(seg_pk_full, cidx[..., None], axis=1)
 
+    block("crop: distances only", dist_only, src_xyz)
+    block("crop: dist+approx_max_k", dist_topk, src_xyz)
     block("crop+gather (k=256)", crop_block, src_xyz)
+    block("crop+gather spread k=256", crop_block, src_xyz, mode="spread")
+    block("crop+gather spread k=128", crop_block, src_xyz, mode="spread",
+          kk=128)
 
     tgt_pk = jax.block_until_ready(crop_block(src_xyz))
 
@@ -88,14 +125,23 @@ def main() -> None:
     print(f"  -> per-iteration marginal {slope * 1e3:.3f} ms, intercept "
           f"~{(secs[1] - slope) * 1e3:.3f} ms")
 
-    # --- group-size sweep at 20 iterations ------------------------------
-    for grp in (4, 8, 16, 32):
+    # --- group-size sweep at 20 iterations (g=16 OOMs scoped vmem) ------
+    for grp in (4, 8):
         block(
             f"kernel g={grp} iters=20",
             lambda sx, g=grp: icp_fused_pallas(
                 sx, src_valid, tgt_pk, max_iterations=20, nn_every=2,
                 stagnation_streak=10_000.0, group=g),
             src_xyz)
+
+    # --- cropped-sweep size (S = crop k) at 20 iterations ----------------
+    tgt_pk128 = jax.block_until_ready(crop_block(src_xyz, kk=128))
+    block(
+        "kernel g=4 iters=20 S=128",
+        lambda sx: icp_fused_pallas(
+            sx, src_valid, tgt_pk128, max_iterations=20, nn_every=2,
+            stagnation_streak=10_000.0, group=4),
+        src_xyz)
 
     # --- nn_every at the default group ----------------------------------
     for ne in (1, 2, 4):

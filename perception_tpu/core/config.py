@@ -64,7 +64,18 @@ class PerchConfig:
     sensor_resolution: float = 0.01           # m; NN match radius for cost
     min_neighbor_points_for_valid_pose: int = 30
     min_points_for_constraint_cloud: int = 50
-    max_icp_iterations: int = 150
+    max_icp_iterations: int = 20              # round 5: 20 unifies the
+                                              # bench budget with the
+                                              # shipped default; paired
+                                              # 150-scene TPU delta vs the
+                                              # ladder's 30-cap default is
+                                              # -0.57 [-1.46, +0.32]
+                                              # (neutral; streak-8 early
+                                              # exit fires well before
+                                              # either cap on converged
+                                              # poses). Reference YAMLs
+                                              # (max 150) still load their
+                                              # own value.
     icp_max_correspondence: float = 0.05      # m
     use_model_specific_search_resolution: bool = False
     icp_type: int = 3                         # 3 = integrated on-device GICP

@@ -218,12 +218,18 @@ def test_occluded_far_candidate_invalid(observed_env):
 
 def test_pose_refinement_rounds_improve_rotation():
     """Local rotation-refinement rounds recover a rotation-perturbed
-    winner (EnvConfig.pose_refinement_rounds; no reference analogue)."""
+    winner (EnvConfig.pose_refinement_rounds; no reference analogue).
+
+    The ICP budget is pinned small (8) so plain ICP stalls short of the
+    optimum and the refinement mechanism has something to improve — at
+    the shipped 20-iteration cap ICP alone fully recovers this scene and
+    both costs tie (r5: the cap unification from 60 made the unpinned
+    baseline converge)."""
     import dataclasses
 
     from perception_tpu.core.pose import euler_xyz_to_matrix, matrix_to_quat
 
-    env = make_env()
+    env = make_env(max_icp_iterations=8)
     env.set_observation_from_states(gt_states())
     gt = gt_states()
     pert = euler_xyz_to_matrix(0.18, -0.12, 0.15) @ gt[0].pose.rotation()
