@@ -114,6 +114,13 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "crop128_spread": ([], {"PT_ICP_CROP_TARGETS": "128",
                             "PT_ICP_CROP_MODE": "spread"}),
     "crop256_spread": ([], {"PT_ICP_CROP_MODE": "spread"}),
+    # Round 5: the ICP stage owns the throughput gap (no_icp 125k vs full
+    # 70.6k poses/s) and the NN re-association sweep is its largest
+    # per-iteration block — the r5 micro (benchmarks/icp_micro.py on-chip)
+    # prices nn_every 2 -> 4 at -5.9 ms/2048-pose batch (16.7 -> 10.7 ms
+    # kernel). If paired-neutral vs the nn_every=2 default, 4 ships.
+    "nn_every_4": ([], {"PT_ICP_NN_EVERY": "4"}),
+    "nn_every_3": ([], {"PT_ICP_NN_EVERY": "3"}),
     # Round 4: the capstone re-based on the exact-covariance fused D2D
     # refiner, which paired-beats the default refiner by +3.21 [1.06, 5.34]
     # @kinect (fused_d2d_exact@kinect vs default@kinect) — if the edge

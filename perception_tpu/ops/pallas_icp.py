@@ -30,7 +30,14 @@ group (_GROUP) of poses' whole refinement:
     the one-pose-per-step kernel; the group exits when all members are done.
     Measured on v5e at 512 poses / 20 iters: 15.4 -> 10.9 ms fixed-trip,
     12.1 -> 10.0 ms with early exit (grouping trades some exit granularity
-    for the vectorised solve; G=4 measured best among 4/8/16).
+    for the vectorised solve). At the round-5 bench shapes (2048 poses,
+    S=256, nn_every=2) G=8 beats G=4 by 19% kernel time (13.4 vs 16.5
+    ms/batch, benchmarks/icp_micro.py) and +5.7% whole-pipeline (64.9k vs
+    61.4k poses/s) — the solve chain is paid once per grid step, so larger
+    groups amortise it; G=16 exceeds scoped VMEM. Because the freeze
+    masks make results identical across G (test_perf_kernels.py
+    test_fused_icp_group_size_is_pure_scheduling), G is a pure perf knob
+    and ships at 8.
 
 Numerical semantics match ops/icp.py `_gn_step` with pp_weight=0 (the NN
 association mode): best-so-far (min plane RMSE) transform tracking, LM-style
@@ -56,7 +63,7 @@ from jax.experimental.pallas import tpu as pltpu
 # in pipeline/env.py _resolve_streak_env — the explicit argument here is
 # authoritative; reading os.environ inside the jitted body would capture
 # a stale value on cached retraces.
-_GROUP = int(os.environ.get("PT_ICP_GROUP", 4))
+_GROUP = int(os.environ.get("PT_ICP_GROUP", 8))
 
 
 def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,

@@ -318,6 +318,45 @@ def test_fused_icp_interpret_converges(rng):
         assert abs(np.dot(nrm[0, 0], delta[i, :3, 3] - ref_t[i])) < 1e-3
 
 
+def test_fused_icp_group_size_is_pure_scheduling(rng):
+    """Group size is a pure scheduling knob: per-pose freeze masks make the
+    results bit-identical across G (pallas_icp.py docstring), which is what
+    lets PT_ICP_GROUP=8 ship as a perf default without ladder pricing
+    (on-chip: 13.4 vs 16.5 ms/2048-pose batch at the bench shapes). Uses
+    per-pose problems of very different difficulty plus a tight stagnation
+    streak so early exit actually fires at different iterations within a
+    group."""
+    from perception_tpu.ops.pallas_icp import icp_fused_pallas, pack_targets
+
+    n, p, s = 8, 64, 128
+    gx = rng.uniform(-0.1, 0.1, (n, s)).astype(np.float32)
+    gy = rng.uniform(-0.1, 0.1, (n, s)).astype(np.float32)
+    gz = (0.6 + 0.2 * gx + 0.1 * gy + 0.05 * np.sin(20 * gx)).astype(
+        np.float32)
+    tgt = np.stack([gx, gy, gz], axis=-1)
+    nz = np.stack([0.2 + np.cos(20 * gx), 0.1 * np.ones_like(gx),
+                   np.ones_like(gx)], axis=-1)
+    nrm = (nz / np.linalg.norm(nz, axis=-1, keepdims=True)).astype(
+        np.float32)
+    tv = np.ones((n, s), bool)
+    # Per-pose offsets spanning 0 (instant convergence) to large (runs the
+    # full budget): group members exit at different iterations.
+    scale = np.linspace(0.0, 0.03, n, dtype=np.float32)[:, None]
+    src = tgt[:, :p] - scale[:, :, None] * np.asarray(
+        [0.4, -0.3, 0.8], np.float32)
+    sv = np.ones((n, p), bool)
+    packed = pack_targets(jnp.asarray(tgt), jnp.asarray(tv),
+                          jnp.asarray(nrm))
+
+    kw = dict(max_iterations=12, max_correspondence=0.05,
+              stagnation_streak=2.0, nn_every=2, interpret=True)
+    d4 = np.asarray(icp_fused_pallas(jnp.asarray(src), jnp.asarray(sv),
+                                     packed, group=4, **kw))
+    d8 = np.asarray(icp_fused_pallas(jnp.asarray(src), jnp.asarray(sv),
+                                     packed, group=8, **kw))
+    np.testing.assert_array_equal(d4, d8)
+
+
 def test_scorer_roi_matches_full(monkeypatch):
     """End-to-end: ROI-mode scores equal full-frame scores when the window
     covers the object."""
