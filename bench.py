@@ -237,6 +237,7 @@ def main() -> None:
                    f"T{int(env._render_bank[2].sum(axis=1).max())}"
                    f"/{env._render_bank[2].shape[1]}cap "
                    f"lod={env.env.render_lod or 'full'} roi32 icp_fused "
+                   f"g{os.environ.get('PT_ICP_GROUP', '8')} "
                    f"pallas_direct nn_every={cfg.icp_nn_every} "
                    f"icp_crop={cfg.icp_crop_targets} "
                    f"cost_crop={cfg.cost_crop_targets} "
