@@ -106,11 +106,11 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "icp_iters_12": ([], {"PT_ICP_ITERS": "12"}),
     "icp_iters_8": ([], {"PT_ICP_ITERS": "8"}),
     # Round 5: the valid-preferring interleaved crop selection
-    # (ops/icp.py crop_targets mode="spread") — fixes the single-plane
-    # runaway that keeps the plain crop at 256; if spread@128 is
-    # paired-neutral vs default, crop 128 can finally ship as default
-    # WITH its selection evidence attached (r4's icp_crop_128 rung
-    # priced the plain selection).
+    # (ops/icp.py crop_targets mode="spread"). The single-frame probe
+    # (benchmarks/crop_probe.py) later showed spread@128 diverges the
+    # same 581 mm as near@128 — the runaway is the pp_weight=0
+    # point-to-plane degeneracy, not selection density — so these rungs
+    # price the shipped OPT-IN knob, not a default-flip candidate.
     "crop128_spread": ([], {"PT_ICP_CROP_TARGETS": "128",
                             "PT_ICP_CROP_MODE": "spread"}),
     "crop256_spread": ([], {"PT_ICP_CROP_MODE": "spread"}),
@@ -121,6 +121,19 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     # kernel). If paired-neutral vs the nn_every=2 default, 4 ships.
     "nn_every_4": ([], {"PT_ICP_NN_EVERY": "4"}),
     "nn_every_3": ([], {"PT_ICP_NN_EVERY": "3"}),
+    # Round 5, VERDICT lever (b): amortise the exact-covariance refiner's
+    # per-iteration re-association (the named cost of its 2x scene
+    # latency). Evidence target is @kinect — that is the harness the
+    # exact mode wins on and noisy_profile() is recommended for.
+    "d2dexact_nn2": ([], {"PT_ICP_MODE": "fused_d2d_exact",
+                          "PT_EXACT_NN_EVERY": "2"}),
+    # Round 5, VERDICT lever (c): the symmetric D2D plane term with
+    # icp_source=model, where exact bank normals are free (the r4
+    # negative paid 6x for k-NN source normals on the rendered cloud).
+    "d2d_model": ([], {"PT_ICP_MODE": "fused_d2d",
+                       "PT_ICP_SOURCE": "model"}),
+    "d2d_model_sym": ([], {"PT_ICP_MODE": "fused_d2d",
+                           "PT_ICP_SOURCE": "model", "PT_D2D_SYM": "1"}),
     # Round 4: the capstone re-based on the exact-covariance fused D2D
     # refiner, which paired-beats the default refiner by +3.21 [1.06, 5.34]
     # @kinect (fused_d2d_exact@kinect vs default@kinect) — if the edge

@@ -135,6 +135,7 @@ def build_env(model_set: str = "zoo"):
             ("PT_ICP_SOURCE", "icp_source", str),
             ("PT_ICP_MODE", "icp_mode", str),
             ("PT_ICP_NN_EVERY", "icp_nn_every", int),
+            ("PT_EXACT_NN_EVERY", "icp_exact_nn_every", int),
             ("PT_RENDER_LOD", "render_lod", int),
             ("PT_COST_CLOUD", "cost_cloud", str),
             ("PT_ICP_STREAK", "icp_stagnation_streak", int),

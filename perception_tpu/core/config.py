@@ -163,6 +163,16 @@ class EnvConfig:
                                               # earlier 12-scene -6.5 reading
                                               # was noise) — opt-in with the
                                               # other mild-negative knobs.
+                                              # Round 5: ALSO slower at the
+                                              # bench (56.0k vs 64.9k
+                                              # poses/s) — at roi32 a
+                                              # stride-x2 render leaves
+                                              # 16-pixel rows under the
+                                              # 128-lane vregs, so the
+                                              # raster loses more to lane
+                                              # waste than it saves in
+                                              # entries. Dead on both axes
+                                              # at bench shapes.
     render_lod: int = 256                     # raster-bank triangle target
                                               # (0 = full t_cap). Strided
                                               # rasterisation samples the
@@ -212,6 +222,12 @@ class EnvConfig:
                                               # +1.1 [-0.9, 3.1] AUC (an
                                               # earlier 24-scene -6.5 reading
                                               # was small-sample noise).
+                                              # Round 5 priced going deeper
+                                              # (-5.9 ms/batch at 4): 4 is
+                                              # -1.76 [-3.41, -0.02]
+                                              # SIGNIFICANT, 3 is -1.19
+                                              # [-2.63, +0.19] (fails the
+                                              # point > -1 rule) — 2 stays.
     icp_source: str = "render"                # "render" (reference-faithful
                                               # pre-ICP render) | "model"
                                               # (render-free: surface samples
@@ -289,6 +305,17 @@ class EnvConfig:
                                               # appended per pose (0 = full
                                               # bank; strided subsample
                                               # otherwise — scorer.py)
+    icp_exact_nn_every: int = 1               # fused_d2d_exact NN re-
+                                              # association period (1 =
+                                              # per-iteration, the
+                                              # icp_gicp_batch reference
+                                              # semantics the +3.21@kinect
+                                              # evidence was measured at;
+                                              # >1 amortises the [S, P]
+                                              # sweep — the named cost of
+                                              # the exact mode's 2x scene
+                                              # latency — pending ladder
+                                              # pricing @kinect)
     icp_d2d_symmetric: bool = False           # fused_d2d: include the
                                               # source-covariance plane
                                               # term (pallas_icp sym

@@ -177,8 +177,14 @@ def crop_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
     default stays 256 and the perf profile opts into 128.
 
     mode="spread": valid-preferring interleave over the ~2k nearest —
-    the spatial EXTENT of a 2k-crop at half density, which fixes the
-    single-plane runaway (6.3 mm on the probe frame above). Candidates
+    the spatial EXTENT of a 2k-crop at half density. Round-5 probe
+    (/tmp-era camera-loop box scene, GT start): spread@128 diverges the
+    SAME 581 mm as near@128 — doubling the extent does not rescue a
+    single-plane close-up, because the degeneracy is the pure
+    point-to-plane objective (the fused kernel runs pp_weight=0;
+    tangential directions are unconstrained on one plane), not the
+    selection density. So spread does NOT unlock crop=128 as a default;
+    it remains an opt-in selection for sparse/ragged segments. Candidates
     are ranked (invalid last) by (position parity, position / 2) over
     the distance-ordered 2k prefix: every 2nd candidate first (the
     half-density spread), the skipped ones as densifying fill — so the
@@ -196,12 +202,24 @@ def crop_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
         raise ValueError(f"unknown crop mode {mode!r}")
     k2 = min(2 * k, s)
     _, idx = jax.lax.approx_max_k(-d, k2)       # ascending distance
-    pos = jnp.arange(k2)
-    rank = (pos % 2) * k2 + pos // 2            # evens first, odds fill
+    # approx_max_k aggregates to an exact sorted top-k2, and invalid
+    # targets carry d=inf, so the candidate list's VALID entries form a
+    # prefix of length V. The (invalid-last, parity, position/2) rank
+    # sort therefore collapses to closed-form index arithmetic: even
+    # positions of the valid prefix first (the half-density spread over
+    # the full 2k extent), odd positions as densifying fill, the invalid
+    # tail as-is. Equivalent to the explicit [N, 2k] rank argsort this
+    # replaced, minus its ~9 ms/2048-pose batch sort cost (icp_micro:
+    # spread k=128 was 14.6 ms vs 5.7 for plain k=256; the arithmetic
+    # form prices at ~plain cost + the wider approx_max_k).
     cand_valid = jnp.take_along_axis(tgt_valid, idx, axis=1)
-    rank = jnp.where(cand_valid, rank[None, :], rank[None, :] + 2 * k2)
-    order = jnp.argsort(rank, axis=1)[:, :k]    # one-time [N, 2k] sort
-    return jnp.take_along_axis(idx, order, axis=1)
+    v = jnp.sum(cand_valid, axis=1, keepdims=True)       # valid prefix len
+    i = jnp.arange(k)[None, :]
+    nhalf = (v + 1) // 2
+    pos = jnp.where(i < nhalf, 2 * i, 2 * (i - nhalf) + 1)
+    pos = jnp.where(i < v, pos, i)              # beyond V: invalid tail
+    pos = jnp.minimum(pos, k2 - 1)
+    return jnp.take_along_axis(idx, pos, axis=1)
 
 
 def _gn_step(cur, q, nrm, w, converged, pp_weight=0.0, damping=1e-4):

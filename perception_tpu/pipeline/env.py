@@ -480,6 +480,7 @@ class PerceptionEnv:
             icp_gicp_epsilon=env.icp_gicp_epsilon,
             icp_d2d_symmetric=env.icp_d2d_symmetric,
             icp_nn_every=env.icp_nn_every,
+            icp_exact_nn_every=env.icp_exact_nn_every,
             icp_stagnation_streak=_resolve_streak_env(
                 env.icp_stagnation_streak),
             depth_factor=env.gpu_depth_factor,

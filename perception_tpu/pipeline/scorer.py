@@ -99,6 +99,12 @@ class ScorerConfig:
                                   # stride*scale (the ICP source cloud is
                                   # downsampled anyway; replaces
                                   # icp_downsample when active)
+    icp_exact_nn_every: int = 1   # fused_d2d_exact: re-association period
+                                  # (1 = per-iteration, the icp_gicp_batch
+                                  # reference semantics; >1 amortises the
+                                  # [S, P] sweep like icp_nn_every does
+                                  # for p2p — ladder-priced before any
+                                  # profile change)
     icp_nn_every: int = 2         # fused ICP: re-associate NN every Nth
                                   # GN iteration (1 = reference-faithful;
                                   # 2 measured AUC-neutral, see EnvConfig)
@@ -392,8 +398,9 @@ def score_pose_batch(
                 fused_src_nrm = src_nrm
             if d2d_mode:
                 rot_eps, trn_eps = cfg.d2d_epsilons()
-                nn_every = 1 if cfg.icp_mode == "fused_d2d_exact" \
-                    else cfg.icp_nn_every
+                nn_every = (cfg.icp_exact_nn_every
+                            if cfg.icp_mode == "fused_d2d_exact"
+                            else cfg.icp_nn_every)
             else:
                 rot_eps = cfg.icp_rotation_epsilon
                 trn_eps = cfg.icp_transformation_epsilon

@@ -373,3 +373,45 @@ def test_crop_targets_spread_selection():
                                    jnp.asarray(centers), k, mode="spread"))[0]
     assert (idx4 >= k).any()
     assert len(set(idx4.tolist())) == k
+
+
+def test_crop_targets_spread_matches_rank_sort_reference():
+    """The closed-form spread selection (index arithmetic over the valid
+    prefix) equals the explicit (invalid-last, parity, position/2) rank
+    argsort it replaced, for random validity patterns and all V regimes
+    (V > 2k impossible; V in [0, 2k] covered)."""
+    from perception_tpu.ops.icp import crop_targets
+
+    rng = np.random.default_rng(7)
+    s, k = 96, 16
+    for trial in range(20):
+        xyz = rng.uniform(-1, 1, (3, s, 3)).astype(np.float32)
+        valid = rng.uniform(size=(3, s)) < rng.uniform(0.02, 1.0)
+        centers = rng.uniform(-1, 1, (3, 3)).astype(np.float32)
+
+        got = np.asarray(crop_targets(jnp.asarray(xyz), jnp.asarray(valid),
+                                      jnp.asarray(centers), k,
+                                      mode="spread"))
+
+        # Reference: the pre-round-5 rank-sort formulation.
+        d = np.sum((xyz - centers[:, None, :]) ** 2, axis=-1)
+        d = np.where(valid, d, np.inf)
+        k2 = min(2 * k, s)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :k2]
+        pos = np.arange(k2)
+        base = (pos % 2) * k2 + pos // 2
+        cand_valid = np.take_along_axis(valid, idx, axis=1)
+        rank = np.where(cand_valid, base[None, :], base[None, :] + 2 * k2)
+        order = np.argsort(rank, axis=1, kind="stable")[:, :k]
+        ref = np.take_along_axis(idx, order, axis=1)
+
+        # approx_max_k is exact (aggregate_to_topk) at these sizes, but
+        # equal distances may tie-break differently — compare the
+        # DISTANCES and validity of the selections, which is what the
+        # ICP sweep consumes.
+        got_d = np.take_along_axis(d, got, axis=1)
+        ref_d = np.take_along_axis(d, ref, axis=1)
+        np.testing.assert_allclose(
+            np.where(np.isinf(got_d), -1.0, got_d),
+            np.where(np.isinf(ref_d), -1.0, ref_d), rtol=1e-6,
+            err_msg=f"trial {trial}")
