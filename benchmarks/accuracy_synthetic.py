@@ -135,6 +135,8 @@ def build_env(model_set: str = "zoo"):
             ("PT_ICP_SOURCE", "icp_source", str),
             ("PT_ICP_MODE", "icp_mode", str),
             ("PT_ICP_NN_EVERY", "icp_nn_every", int),
+            ("PT_ICP_ASSOC_TRIGGER", "icp_assoc_trigger", float),
+            ("PT_ICP_GATHER", "icp_gather", str),
             ("PT_EXACT_NN_EVERY", "icp_exact_nn_every", int),
             ("PT_RENDER_LOD", "render_lod", int),
             ("PT_COST_CLOUD", "cost_cloud", str),

@@ -117,8 +117,13 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
             overrides[key] = int(_os.environ[var])
     if _os.environ.get("PT_ICP_SOURCE"):
         overrides["icp_source"] = _os.environ["PT_ICP_SOURCE"]
+    if _os.environ.get("PT_ICP_ASSOC_TRIGGER"):
+        overrides["icp_assoc_trigger"] = float(
+            _os.environ["PT_ICP_ASSOC_TRIGGER"])
     if _os.environ.get("PT_ICP_CROP_MODE"):
         overrides["icp_crop_mode"] = _os.environ["PT_ICP_CROP_MODE"]
+    if _os.environ.get("PT_ICP_GATHER"):
+        overrides["icp_gather"] = _os.environ["PT_ICP_GATHER"]
     if _os.environ.get("PT_COST_CLOUD"):
         overrides["cost_cloud"] = _os.environ["PT_COST_CLOUD"]
     if _os.environ.get("PT_ICP_MODE"):

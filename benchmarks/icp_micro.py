@@ -37,7 +37,8 @@ def main() -> None:
 
     from harness import time_op
     from perception_tpu.ops.icp import crop_targets
-    from perception_tpu.ops.pallas_icp import icp_fused_pallas, pack_targets
+    from perception_tpu.ops.pallas_icp import (
+        gather_rows_onehot, icp_fused_pallas, pack_targets)
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     p, s_full, k = 256, 1024, 256
@@ -98,14 +99,17 @@ def main() -> None:
         _, idx = jax.lax.approx_max_k(-dist_only(sxyz), k)
         return idx
 
-    def crop_block(sxyz, mode="near", kk=k):
+    def crop_block(sxyz, mode="near", kk=k, gather="onehot"):
         centers = jnp.mean(sxyz, axis=1)
         cidx = crop_targets(tgt_xyz, tgt_valid, centers, kk, mode=mode)
-        return jnp.take_along_axis(seg_pk_full, cidx[..., None], axis=1)
+        if gather == "take":
+            return jnp.take_along_axis(seg_pk_full, cidx[..., None], axis=1)
+        return gather_rows_onehot(seg_pk_full, cidx)
 
     block("crop: distances only", dist_only, src_xyz)
     block("crop: dist+approx_max_k", dist_topk, src_xyz)
-    block("crop+gather (k=256)", crop_block, src_xyz)
+    block("crop+gather take (k=256)", crop_block, src_xyz, gather="take")
+    block("crop+gather onehot (k=256)", crop_block, src_xyz)
     block("crop+gather spread k=256", crop_block, src_xyz, mode="spread")
     block("crop+gather spread k=128", crop_block, src_xyz, mode="spread",
           kk=128)
@@ -150,6 +154,24 @@ def main() -> None:
             lambda sx, e=ne: icp_fused_pallas(
                 sx, src_valid, tgt_pk, max_iterations=20, nn_every=e,
                 stagnation_streak=10_000.0, group=4),
+            src_xyz)
+
+    # --- adaptive association (nn_every=0) at g=8, bench-like early exit:
+    # the sweep count now depends on the data (bench-like perturbations),
+    # so measure with the shipped streak-8 exit where it actually runs.
+    for trig in (0.002, 0.004, 0.008):
+        block(
+            f"kernel g=8 adaptive t={trig}",
+            lambda sx, t=trig: icp_fused_pallas(
+                sx, src_valid, tgt_pk, max_iterations=20, nn_every=0,
+                assoc_trigger=t, stagnation_streak=8.0, group=8),
+            src_xyz)
+    for ne in (1, 2):
+        block(
+            f"kernel g=8 nn_every={ne} strk8",
+            lambda sx, e=ne: icp_fused_pallas(
+                sx, src_valid, tgt_pk, max_iterations=20, nn_every=e,
+                stagnation_streak=8.0, group=8),
             src_xyz)
 
 

@@ -228,6 +228,38 @@ class EnvConfig:
                                               # SIGNIFICANT, 3 is -1.19
                                               # [-2.63, +0.19] (fails the
                                               # point > -1 rule) — 2 stays.
+                                              # 0 = adaptive: re-associate
+                                              # when the accumulated pose-
+                                              # motion bound exceeds
+                                              # icp_assoc_trigger
+                                              # (pallas_icp.py). Priced a
+                                              # DEAD perf lever on-chip:
+                                              # ~18 ms/2048 at any trigger
+                                              # 0.002-0.008 (== nn_every=1's
+                                              # cost, vs 14.4 at the
+                                              # default 2) — early GN steps
+                                              # always exceed a sane motion
+                                              # trigger and association is
+                                              # group-wide, so the sweep
+                                              # never amortises. Kept as an
+                                              # opt-in fidelity mode.
+    icp_assoc_trigger: float = 0.004          # adaptive-association motion
+                                              # trigger in meters (read only
+                                              # when icp_nn_every == 0)
+    icp_gather: str = "take"                  # cropped packed-target gather:
+                                              # "take" (generic gather) |
+                                              # "onehot" (bit-exact one-hot
+                                              # MXU matmul). Priced on-chip
+                                              # paired: take 6.25 / onehot
+                                              # 6.57 ms/2048 — onehot's
+                                              # apparent win in earlier
+                                              # probes was an XLA excess-
+                                              # precision elision silently
+                                              # bf16-rounding every gathered
+                                              # target (53 mm single-plane
+                                              # ICP drift); with the split
+                                              # pinned exact it loses, so
+                                              # take stays default.
     icp_source: str = "render"                # "render" (reference-faithful
                                               # pre-ICP render) | "model"
                                               # (render-free: surface samples

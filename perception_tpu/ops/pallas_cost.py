@@ -309,7 +309,11 @@ def nn_cost_fused_color_pallas(
         cloud8 = jnp.concatenate([cloud8, pad_col], axis=2)
 
     tadd = jnp.where(tgt_valid, 0.0, jnp.inf).astype(jnp.float32)
-    hi = tgt_lab.astype(jnp.bfloat16).astype(jnp.float32)
+    # reduce_precision, NOT astype(bf16).astype(f32): XLA's
+    # excess-precision elision folds the convert round-trip away, which
+    # zeroes the lo correction at trace time (caught on-chip round 5 in
+    # gather_rows_onehot; same pattern here).
+    hi = jax.lax.reduce_precision(tgt_lab, 8, 7)
     lo = tgt_lab - hi
     tgt16 = jnp.concatenate(
         [tgt_xyz, tadd[..., None], hi, lo,
@@ -345,7 +349,8 @@ def pack_bank_lab(bank_lab: jax.Array) -> jax.Array:
     for the in-kernel recovery (static, once per bank)."""
     m, t, _ = bank_lab.shape
     lab_t = jnp.transpose(bank_lab.astype(jnp.float32), (0, 2, 1))  # [M,3,T]
-    hi = lab_t.astype(jnp.bfloat16).astype(jnp.float32)
+    # reduce_precision: see the elision note in nn_cost_fused_color_pallas.
+    hi = jax.lax.reduce_precision(lab_t, 8, 7)
     lo = lab_t - hi
     return jnp.concatenate(
         [hi, lo, jnp.zeros((m, 2, t), jnp.float32)], axis=1)
@@ -394,7 +399,11 @@ def nn_cost_fused_color_tri_pallas(
         cloud8 = jnp.concatenate([cloud8, pad_col], axis=2)
 
     tadd = jnp.where(tgt_valid, 0.0, jnp.inf).astype(jnp.float32)
-    hi = tgt_lab.astype(jnp.bfloat16).astype(jnp.float32)
+    # reduce_precision, NOT astype(bf16).astype(f32): XLA's
+    # excess-precision elision folds the convert round-trip away, which
+    # zeroes the lo correction at trace time (caught on-chip round 5 in
+    # gather_rows_onehot; same pattern here).
+    hi = jax.lax.reduce_precision(tgt_lab, 8, 7)
     lo = tgt_lab - hi
     tgt16 = jnp.concatenate(
         [tgt_xyz, tadd[..., None], hi, lo,

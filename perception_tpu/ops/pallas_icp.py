@@ -70,7 +70,7 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
                 g, p, s, max_iterations, max_corr_sq, damping, nn_every=1,
                 rot_eps_sq=4e-6, trn_eps_sq=2.5e-7,
                 stagnation_streak=8.0, d2d_epsilon=0.0, sym=False,
-                exact=False):
+                exact=False, assoc_trigger=0.0):
     """src [G,3,P] (or [G,6,P] with per-point source normals when sym);
     sadd [G,1,P]; tgt [G,S,8] packed
     (x, y, z, nx, ny, nz, n.t, validity-additive);
@@ -164,8 +164,10 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
     def body(carry):
         # carry: iter k (scalar), current/best transforms (12 x [G,1]),
         # best rmse, stagnation streak, done flag (f32 0/1) — all [G,1] —
-        # and the cached association (nx, ny, nz, nq, dmin) — [G, P].
-        k, cur_tf, best_tf, best_rmse, streak, done, assoc = carry
+        # the cached association (nx, ny, nz, nq, dmin) — [G, P] — and
+        # accum, the per-pose upper bound on point motion since the last
+        # association (adaptive mode only; carried as zeros otherwise).
+        k, cur_tf, best_tf, best_rmse, streak, done, assoc, accum = carry
         (r00, r01, r02, r10, r11, r12, r20, r21, r22, t0, t1, t2) = cur_tf
         cx = r00 * sx + r01 * sy + r02 * sz + t0   # [G, P]
         cy = r10 * sx + r11 * sy + r12 * sz + t1
@@ -212,7 +214,22 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
             return tuple(jnp.concatenate(r, axis=0)      # [G, P] each
                          for r in rows)
 
-        if nn_every > 1:
+        if nn_every == 0:
+            # Adaptive association: re-run the [S, P] sweep only when some
+            # active pose may have MOVED far enough since its last
+            # association to change correspondences. `accum` upper-bounds
+            # per-pose point motion (sum over steps of theta * extent +
+            # |u|, triangle inequality); the whole group associates when
+            # any active member exceeds the trigger (association is
+            # group-wide anyway). Early iterations take large steps and
+            # get nn_every=1 fidelity; near convergence steps shrink below
+            # the trigger and the sweep amortises further than a fixed
+            # period would dare. trigger=0 degenerates to nn_every=1.
+            need = (k == 0) | (jnp.max(accum * (1.0 - done))
+                               > assoc_trigger)
+            assoc = jax.lax.cond(need, associate, lambda _: assoc, 0)
+            accum = jnp.where(need, jnp.zeros_like(accum), accum)
+        elif nn_every > 1:
             # Re-associate every nn_every-th iteration; in between, take a
             # further GN step against the cached correspondences (classic
             # coarse ICP trick — point-to-plane is nearly linear per
@@ -491,6 +508,16 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
         # accuracy pricing in the module docstring / config.py).
         rot_n2 = wx * wx + wy * wy + wz * wz
         trn_n2 = xi[3] * xi[3] + xi[4] * xi[4] + xi[5] * xi[5]
+        if nn_every == 0:
+            # Accumulate this step's point-motion upper bound: the update
+            # rotates about the origin (p2p) / the correspondence centroid
+            # (d2d), and ax/ay/az are the points in exactly that frame, so
+            # max |a| is the rotation lever arm. Frozen poses do not move
+            # and stop accumulating.
+            ext = jnp.sqrt(jnp.max(ax * ax + ay * ay + az * az,
+                                   axis=1, keepdims=True))
+            motion = theta * ext + jnp.sqrt(trn_n2)
+            accum = jnp.where(active, accum + motion, accum)
         step_small = (rot_n2 < rot_eps_sq) & (trn_n2 < trn_eps_sq)
         improved_sig = rmse < best_rmse - 1e-6
         new_streak = jnp.where(improved_sig, jnp.zeros_like(streak),
@@ -501,7 +528,7 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
         all_done = new_done.min() > 0.5
         next_k = jnp.where(all_done, jnp.int32(max_iterations), k + 1)
         return (next_k, new_cur, new_best_tf, new_best_rmse, new_streak,
-                new_done, assoc)
+                new_done, assoc, accum)
 
     ones = jnp.ones((g, 1), jnp.float32)
     zeros = jnp.zeros((g, 1), jnp.float32)
@@ -509,7 +536,7 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
     ident = (ones, zeros, zeros, zeros, ones, zeros, zeros, zeros, ones,
              zeros, zeros, zeros)
     init = (jnp.int32(0), ident, ident, jnp.full((g, 1), np.inf, jnp.float32),
-            zeros, zeros, tuple(zgp for _ in range(n_attr + 1)))
+            zeros, zeros, tuple(zgp for _ in range(n_attr + 1)), zeros)
     final_carry = jax.lax.while_loop(
         lambda c: c[0] < max_iterations, body, init)
     final = final_carry[2]
@@ -526,24 +553,82 @@ def _icp_kernel(src_ref, sadd_ref, tgt_ref, out_ref, *,
     out_ref[:, :, :] = out
 
 
+# Validity additive for invalid packed-target rows. Large finite rather
+# than inf: the packed rows flow through one-hot MXU gathers
+# (gather_rows_onehot) where 0 * inf would poison every output with NaN,
+# and the kernel only ever uses the additive against the correspondence
+# threshold (d + BIG > max_corr_sq in every case; f32 max is 3.4e38 so
+# BIG + |t|^2 + |c|^2 cannot overflow at scene scales).
+_INVALID_ADD = 1e30
+
+
 def pack_targets(tgt_xyz: jax.Array, tgt_valid: jax.Array,
                  tgt_normals: jax.Array) -> jax.Array:
     """[..., S, 8] packed target rows for icp_fused_pallas:
-    (x, y, z, nx, ny, nz, n.t, 0-or-inf validity additive). Pack once per
+    (x, y, z, nx, ny, nz, n.t, 0-or-1e30 validity additive). Pack once per
     scene/segment and gather the packed rows — one gather instead of
     three, and the plane offset n.t is computed once instead of per
     kernel iteration."""
     bt = jnp.sum(tgt_normals * tgt_xyz, axis=-1, keepdims=True)
-    tadd = jnp.where(tgt_valid, 0.0, jnp.inf).astype(
+    tadd = jnp.where(tgt_valid, 0.0, _INVALID_ADD).astype(
         jnp.float32)[..., None]
     return jnp.concatenate(
         [tgt_xyz, tgt_normals, bt, tadd], axis=-1).astype(jnp.float32)
 
 
+def gather_rows_onehot(tile: jax.Array, idx: jax.Array) -> jax.Array:
+    """[N, k, A] rows tile[n, idx[n, i], :] via a batched one-hot MXU
+    matmul. The fine-grained take_along_axis this replaces lowers to a
+    slow generic gather on TPU (~3 ms for a [2048, 256] <- [., 1024, 8]
+    crop gather vs ~1 ms here); row values must be FINITE (0 * inf = NaN
+    in the dot — pack_targets uses a finite validity additive for this).
+
+    Exact for f32 inputs: each value splits into three bf16 parts (top /
+    mid / low significand slices — 24 bits covered), each part is
+    recovered by a single-term one-hot product (no accumulation), and the
+    f32 recombination hi + mid + lo is exact because the parts' exponent
+    ranges are disjoint.
+
+    TWO XLA rewrites break a naive implementation of this split on TPU
+    (both caught on-chip in round 5 — outputs came back EQUAL TO THE HI
+    PART, i.e. the whole tile rounded to bf16, ~2e-3 relative error;
+    measured end-to-end that walked a single-plane ICP segment 53 mm off
+    its ground-truth pose because the rounded normals corrupt the
+    near-singular point-to-plane GN):
+      1. excess-precision elision folds the f32->bf16->f32 round-trip
+         `tile - hi.astype(f32)` into `tile - tile = 0`, zeroing the
+         mid/lo parts at trace time — so the split must use
+         `lax.reduce_precision` (semantic rounding, never elided), and
+      2. the algebraic simplifier can factor
+         dot(oh, hi) + dot(oh, mid) + dot(oh, lo) into
+         dot(oh, hi + mid + lo) with the sum in bf16 — the
+         optimization_barrier pins the three part-dots apart.
+    `test_tpu_lane.py::test_gather_rows_onehot_bit_exact_on_chip` is the
+    on-chip regression guard."""
+    s = tile.shape[-2]
+    oh = (idx[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, s), 2)).astype(jnp.bfloat16)        # [N, k, S]
+    hi32 = jax.lax.reduce_precision(tile, 8, 7)               # bf16 grid
+    r1 = tile - hi32
+    mid32 = jax.lax.reduce_precision(r1, 8, 7)
+    hi = hi32.astype(jnp.bfloat16)
+    mid = mid32.astype(jnp.bfloat16)
+    lo = (r1 - mid32).astype(jnp.bfloat16)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    parts = jax.lax.optimization_barrier((dot(oh, hi), dot(oh, mid),
+                                          dot(oh, lo)))
+    return parts[0] + parts[1] + parts[2]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "max_iterations", "max_correspondence", "damping", "nn_every",
     "rotation_epsilon", "transformation_epsilon", "stagnation_streak",
-    "d2d_epsilon", "exact", "interpret", "group"))
+    "d2d_epsilon", "exact", "interpret", "group", "assoc_trigger"))
 def icp_fused_pallas(
     src_xyz: jax.Array,      # [N, P, 3]
     src_valid: jax.Array,    # [N, P]
@@ -563,8 +648,16 @@ def icp_fused_pallas(
     exact: bool = False,
     interpret: bool = False,
     group: int | None = None,
+    assoc_trigger: float = 0.004,
 ) -> jax.Array:
     """Camera-frame corrections [N, 4, 4] (pose' = delta @ pose).
+
+    nn_every=0 selects ADAPTIVE association: the [S, P] NN sweep re-runs
+    only when some active pose's accumulated point-motion bound since its
+    last association exceeds `assoc_trigger` (meters). Early iterations
+    (large steps) get per-iteration fidelity; near convergence the sweep
+    amortises automatically. assoc_trigger=0 degenerates to nn_every=1;
+    a huge trigger degenerates to associate-once.
 
     d2d_epsilon > 0 enables the GICP distribution weighting (see
     _icp_kernel). In that mode callers should pass step-norm thresholds
@@ -601,9 +694,9 @@ def icp_fused_pallas(
 
     tgt8 = tgt_packed
     if s_pad != s:
-        # Pad rows get an inf validity additive so they never win the NN.
+        # Pad rows get the invalid additive so they never win the NN.
         tgt8 = jnp.pad(tgt8, ((0, 0), (0, s_pad - s), (0, 0)))
-        tgt8 = tgt8.at[:, s:, 7].set(jnp.inf)
+        tgt8 = tgt8.at[:, s:, 7].set(_INVALID_ADD)
 
     if n_pad != n:
         # Padded poses have no valid sources -> ok=False -> identity delta,
@@ -612,7 +705,7 @@ def icp_fused_pallas(
         sadd = jnp.pad(sadd, ((0, n_pad - n), (0, 0), (0, 0)),
                        constant_values=jnp.inf)
         tgt8 = jnp.pad(tgt8, ((0, n_pad - n), (0, 0), (0, 0)))
-        tgt8 = tgt8.at[n:, :, 7].set(jnp.inf)
+        tgt8 = tgt8.at[n:, :, 7].set(_INVALID_ADD)
 
     kernel = functools.partial(
         _icp_kernel, g=grp, p=p_pad, s=s_pad,
@@ -622,7 +715,8 @@ def icp_fused_pallas(
         rot_eps_sq=rotation_epsilon * rotation_epsilon,
         trn_eps_sq=transformation_epsilon * transformation_epsilon,
         stagnation_streak=float(stagnation_streak),
-        d2d_epsilon=float(d2d_epsilon), sym=sym, exact=bool(exact))
+        d2d_epsilon=float(d2d_epsilon), sym=sym, exact=bool(exact),
+        assoc_trigger=float(assoc_trigger))
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // grp,),

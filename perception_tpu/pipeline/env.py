@@ -480,6 +480,8 @@ class PerceptionEnv:
             icp_gicp_epsilon=env.icp_gicp_epsilon,
             icp_d2d_symmetric=env.icp_d2d_symmetric,
             icp_nn_every=env.icp_nn_every,
+            icp_assoc_trigger=env.icp_assoc_trigger,
+            icp_gather=env.icp_gather,
             icp_exact_nn_every=env.icp_exact_nn_every,
             icp_stagnation_streak=_resolve_streak_env(
                 env.icp_stagnation_streak),

@@ -107,7 +107,20 @@ class ScorerConfig:
                                   # profile change)
     icp_nn_every: int = 2         # fused ICP: re-associate NN every Nth
                                   # GN iteration (1 = reference-faithful;
-                                  # 2 measured AUC-neutral, see EnvConfig)
+                                  # 2 measured AUC-neutral, see EnvConfig;
+                                  # 0 = adaptive — re-associate when the
+                                  # accumulated pose-motion bound exceeds
+                                  # icp_assoc_trigger)
+    icp_assoc_trigger: float = 0.004  # adaptive association trigger (m of
+                                  # max point motion since last sweep);
+                                  # only read when icp_nn_every == 0
+    icp_gather: str = "take"      # cropped packed-target gather: "take"
+                                  # (generic gather, 6.25 ms/2048) |
+                                  # "onehot" (bit-exact MXU one-hot, 6.57
+                                  # ms once exactness is enforced — its
+                                  # earlier "win" was an XLA rewrite
+                                  # silently bf16-rounding the targets;
+                                  # see gather_rows_onehot)
     icp_stagnation_streak: int = 8  # fused-ICP stagnation early exit
                                     # (iterations without best-rmse
                                     # improvement; see EnvConfig)
@@ -365,7 +378,8 @@ def score_pose_batch(
             src_valid = cloud.valid[:, ::ds]
         if cfg.icp_mode in ("fused", "fused_d2d", "fused_d2d_exact"):
             from perception_tpu.ops.icp import crop_targets
-            from perception_tpu.ops.pallas_icp import icp_fused_pallas, pack_targets
+            from perception_tpu.ops.pallas_icp import (
+                gather_rows_onehot, icp_fused_pallas, pack_targets)
 
             d2d_mode = cfg.icp_mode in ("fused_d2d", "fused_d2d_exact")
 
@@ -382,7 +396,17 @@ def score_pose_batch(
                            / jnp.maximum(src_valid.sum(axis=1), 1)[:, None])
                 cidx = crop_targets(tgt_xyz, tgt_valid, centers, k,
                                     mode=cfg.icp_crop_mode)
-                tgt_pk = seg_pk[labels[:, None], cidx]
+                # Row-level gather (contiguous) + per-row selection. The
+                # one-hot MXU alternative is bit-exact but priced slower
+                # once its bf16 split is protected from XLA's
+                # excess-precision elision (take 6.25 vs onehot 6.57
+                # ms/2048 paired on-chip, crop block total — see
+                # gather_rows_onehot for the story); "take" is default.
+                if cfg.icp_gather == "take":
+                    tgt_pk = jnp.take_along_axis(
+                        seg_pk[labels], cidx[..., None], axis=1)
+                else:
+                    tgt_pk = gather_rows_onehot(seg_pk[labels], cidx)
             fused_src_nrm = None
             if (cfg.icp_mode == "fused_d2d_exact"
                     or (cfg.icp_mode == "fused_d2d"
@@ -415,6 +439,7 @@ def score_pose_batch(
                 stagnation_streak=cfg.icp_stagnation_streak,
                 d2d_epsilon=(cfg.icp_gicp_epsilon if d2d_mode else 0.0),
                 exact=cfg.icp_mode == "fused_d2d_exact",
+                assoc_trigger=cfg.icp_assoc_trigger,
                 interpret=resolved_backend.endswith("interpret"))
         elif cfg.icp_mode == "gicp":
             from perception_tpu.ops.icp import cloud_normals, icp_gicp_batch

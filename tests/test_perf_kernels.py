@@ -357,6 +357,80 @@ def test_fused_icp_group_size_is_pure_scheduling(rng):
     np.testing.assert_array_equal(d4, d8)
 
 
+def test_gather_rows_onehot_is_bit_exact(rng):
+    """gather_rows_onehot (the MXU replacement for the scorer's cropped
+    packed-target gather) reproduces take_along_axis BIT-EXACTLY for f32
+    inputs — the 3-way bf16 significand split covers all 24 bits —
+    including the 1e30 invalid-additive sentinel pack_targets emits."""
+    from perception_tpu.ops.pallas_icp import gather_rows_onehot
+
+    n, s, k, a = 7, 96, 33, 8
+    tile = rng.normal(0, 1.0, (n, s, a)).astype(np.float32)
+    tile[:, :, 7] = np.where(rng.uniform(size=(n, s)) < 0.3, 1e30, 0.0)
+    # Mix in extreme exponents (tiny coords, big n.t) to stress the split.
+    tile[:, ::5, 2] *= 1e-6
+    tile[:, ::7, 6] *= 1e4
+    idx = rng.integers(0, s, (n, k)).astype(np.int32)
+
+    got = np.asarray(gather_rows_onehot(jnp.asarray(tile), jnp.asarray(idx)))
+    ref = np.take_along_axis(tile, idx[..., None], axis=1)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_icp_adaptive_association_degenerate_cases(rng):
+    """nn_every=0 (adaptive association, pallas_icp.py): trigger=0 forces a
+    re-association every iteration (== nn_every=1 bit-exact) and a huge
+    trigger never re-associates after k=0 (== nn_every=max_iterations
+    bit-exact), so the adaptive mode's entire behavior space is bracketed
+    by the fixed-period modes it interpolates between."""
+    from perception_tpu.ops.pallas_icp import icp_fused_pallas, pack_targets
+
+    n, p, s = 8, 64, 128
+    gx = rng.uniform(-0.1, 0.1, (n, s)).astype(np.float32)
+    gy = rng.uniform(-0.1, 0.1, (n, s)).astype(np.float32)
+    gz = (0.6 + 0.2 * gx + 0.1 * gy + 0.05 * np.sin(20 * gx)).astype(
+        np.float32)
+    tgt = np.stack([gx, gy, gz], axis=-1)
+    nz = np.stack([0.2 + np.cos(20 * gx), 0.1 * np.ones_like(gx),
+                   np.ones_like(gx)], axis=-1)
+    nrm = (nz / np.linalg.norm(nz, axis=-1, keepdims=True)).astype(
+        np.float32)
+    tv = np.ones((n, s), bool)
+    scale = np.linspace(0.0, 0.03, n, dtype=np.float32)[:, None]
+    src = tgt[:, :p] - scale[:, :, None] * np.asarray(
+        [0.4, -0.3, 0.8], np.float32)
+    sv = np.ones((n, p), bool)
+    packed = pack_targets(jnp.asarray(tgt), jnp.asarray(tv),
+                          jnp.asarray(nrm))
+    kw = dict(max_iterations=12, max_correspondence=0.05,
+              stagnation_streak=3.0, interpret=True)
+
+    every = np.asarray(icp_fused_pallas(
+        jnp.asarray(src), jnp.asarray(sv), packed, nn_every=1, **kw))
+    adaptive0 = np.asarray(icp_fused_pallas(
+        jnp.asarray(src), jnp.asarray(sv), packed, nn_every=0,
+        assoc_trigger=0.0, **kw))
+    np.testing.assert_array_equal(adaptive0, every)
+
+    once = np.asarray(icp_fused_pallas(
+        jnp.asarray(src), jnp.asarray(sv), packed, nn_every=12, **kw))
+    adaptive_inf = np.asarray(icp_fused_pallas(
+        jnp.asarray(src), jnp.asarray(sv), packed, nn_every=0,
+        assoc_trigger=1e9, **kw))
+    np.testing.assert_array_equal(adaptive_inf, once)
+
+    # A realistic trigger recovers a known rigid shift as well as
+    # per-iteration association does (plane-constrained direction).
+    adaptive = np.asarray(icp_fused_pallas(
+        jnp.asarray(src), jnp.asarray(sv), packed, nn_every=0,
+        assoc_trigger=0.004, **kw))
+    true_dirs = scale * np.asarray([0.4, -0.3, 0.8], np.float32)
+    for i in range(n):
+        r_ad = np.dot(nrm[i, 0], true_dirs[i] - adaptive[i, :3, 3])
+        r_ev = np.dot(nrm[i, 0], true_dirs[i] - every[i, :3, 3])
+        assert abs(r_ad) <= abs(r_ev) + 1e-3, (i, r_ad, r_ev)
+
+
 def test_scorer_roi_matches_full(monkeypatch):
     """End-to-end: ROI-mode scores equal full-frame scores when the window
     covers the object."""

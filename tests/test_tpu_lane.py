@@ -140,6 +140,41 @@ def test_compiled_fused_icp_matches_composed(tpu_backend, rng):
 
 
 @requires_tpu
+def test_gather_rows_onehot_bit_exact_on_chip(tpu_backend, rng):
+    """On-chip bit-exactness of the one-hot MXU gather. The CPU suite's
+    copy of this assertion cannot catch TPU-specific XLA rewrites: round 5
+    caught the algebraic simplifier factoring the three part-dots into one
+    bf16 dot (rounding every gathered value to bf16, ~2e-3 rel — enough to
+    walk a single-plane ICP segment 53 mm off GT). gather_rows_onehot now
+    pins the split with an optimization_barrier; this test is the on-chip
+    regression guard."""
+    import jax.numpy as jnp
+
+    from perception_tpu.ops.pallas_icp import gather_rows_onehot
+
+    n, s, k, a = 64, 1024, 256, 8
+    tile = rng.normal(0, 1.0, (n, s, a)).astype(np.float32)
+    tile[:, :, 7] = np.where(rng.uniform(size=(n, s)) < 0.3, 1e30, 0.0)
+    tile[:, ::5, 2] *= 1e-6
+    tile[:, ::7, 6] *= 1e4
+    idx = rng.integers(0, s, (n, k)).astype(np.int32)
+    got = np.asarray(gather_rows_onehot(jnp.asarray(tile), jnp.asarray(idx)))
+    ref = np.take_along_axis(tile, idx[..., None], axis=1)
+    np.testing.assert_array_equal(got, ref)
+
+    # Same elision hazard in the colour-cost hi/lo packs: the split must
+    # reconstruct the Lab plane exactly when COMPILED (not interpreted).
+    import jax
+
+    from perception_tpu.ops.pallas_cost import pack_bank_lab
+
+    lab = rng.uniform(-110, 110, (3, 3, 256)).astype(np.float32)
+    lab_in = jnp.transpose(jnp.asarray(lab), (0, 2, 1))   # [M, T, 3]
+    packed = np.asarray(jax.jit(pack_bank_lab)(lab_in))
+    np.testing.assert_array_equal(packed[:, 0:3] + packed[:, 3:6], lab)
+
+
+@requires_tpu
 def test_compiled_fused_cost_matches_composed(tpu_backend, rng):
     import jax.numpy as jnp
 
