@@ -239,7 +239,7 @@ def main() -> None:
                    f"lod={env.env.render_lod or 'full'} roi32 icp_fused "
                    f"g{os.environ.get('PT_ICP_GROUP', '8')} "
                    f"pallas_direct nn_every={cfg.icp_nn_every} "
-                   f"icp_crop={cfg.icp_crop_targets} "
+                   f"icp_crop={cfg.icp_crop_targets}/{cfg.icp_crop_share} "
                    f"cost_crop={cfg.cost_crop_targets} "
                    f"src={cfg.icp_source} "
                    f"cost_cloud={cfg.cost_cloud}"),

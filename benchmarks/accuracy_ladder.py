@@ -32,6 +32,10 @@ RUNGS: dict[str, tuple[list[str], dict[str, str]]] = {
     "color_cost": ([], {"PT_COLOR_COST": "1"}),
     "icp_src_model": ([], {"PT_ICP_SOURCE": "model"}),
     "icp_crop_128": ([], {"PT_ICP_CROP_TARGETS": "128"}),
+    # Round 5: one crop per SEGMENT (centred on the segment's valid
+    # centroid) instead of per pose — collapses the crop-selection block
+    # from N poses to L labels (scorer.py icp_crop_share).
+    "icp_crop_share_label": ([], {"PT_ICP_CROP_SHARE": "label"}),
     "nn_every_2": ([], {"PT_ICP_NN_EVERY": "2"}),
     "no_early_exit": ([], {"PT_ICP_NO_EARLY_EXIT": "1"}),
     "gicp": ([], {"PT_ICP_MODE": "gicp"}),

@@ -131,6 +131,7 @@ def build_env(model_set: str = "zoo"):
             ("PT_ICP_RENDER_SCALE", "icp_render_scale", int),
             ("PT_ICP_CROP_TARGETS", "icp_crop_targets", int),
             ("PT_ICP_CROP_MODE", "icp_crop_mode", str),
+            ("PT_ICP_CROP_SHARE", "icp_crop_share", str),
             ("PT_COST_CROP_TARGETS", "cost_crop_targets", int),
             ("PT_ICP_SOURCE", "icp_source", str),
             ("PT_ICP_MODE", "icp_mode", str),

@@ -122,6 +122,8 @@ def build_bench_problem(n_poses=512, t_cap=1024, width=640, height=480,
             _os.environ["PT_ICP_ASSOC_TRIGGER"])
     if _os.environ.get("PT_ICP_CROP_MODE"):
         overrides["icp_crop_mode"] = _os.environ["PT_ICP_CROP_MODE"]
+    if _os.environ.get("PT_ICP_CROP_SHARE"):
+        overrides["icp_crop_share"] = _os.environ["PT_ICP_CROP_SHARE"]
     if _os.environ.get("PT_ICP_GATHER"):
         overrides["icp_gather"] = _os.environ["PT_ICP_GATHER"]
     if _os.environ.get("PT_COST_CLOUD"):

@@ -19,10 +19,13 @@ sys.path.insert(0, '/root/repo')
 import jax; jax.config.update("jax_platforms", "cpu")
 from tests.test_pipeline import make_env, gt_states
 
-for crop, mode in [(256, "near"), (128, "near"), (128, "spread"), (256, "spread")]:
+for crop, mode, share in [(256, "near", "pose"), (128, "near", "pose"),
+                          (128, "spread", "pose"), (256, "spread", "pose"),
+                          (256, "near", "label"), (128, "near", "label")]:
     env = make_env()
     env.env = dataclasses.replace(env.env, icp_crop_targets=crop,
-                                  icp_crop_mode=mode)
+                                  icp_crop_mode=mode,
+                                  icp_crop_share=share)
     gt = gt_states()
     env.set_observation_from_states(gt)
     pose_lists = {"red_box": [[gt[0].pose.x, gt[0].pose.y, gt[0].pose.z,
@@ -36,6 +39,6 @@ for crop, mode in [(256, "near"), (128, "near"), (128, "spread"), (256, "spread"
         errs[name] = 1e3 * float(np.sqrt(
             (obj.pose.x - g.pose.x)**2 + (obj.pose.y - g.pose.y)**2
             + (obj.pose.z - g.pose.z)**2))
-    print(f"crop={crop} mode={mode}: " +
+    print(f"crop={crop} mode={mode} share={share}: " +
           ", ".join(f"{k}={v:.2f}mm" for k, v in sorted(errs.items())),
           flush=True)

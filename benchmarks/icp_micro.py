@@ -114,6 +114,40 @@ def main() -> None:
     block("crop+gather spread k=128", crop_block, src_xyz, mode="spread",
           kk=128)
 
+    # --- label-shared crop: L selections + one contiguous row gather ----
+    # (icp_crop_share="label"). The seg arrays get a tiny dependence on
+    # the perturbed arg so the harness's fori_loop cannot hoist the
+    # selection as loop-invariant — this prices the per-BATCH cost; in
+    # serving, the selection is genuinely loop-invariant across a frame's
+    # search batches and costs less than measured here.
+    n_labels = 4
+    lab = jnp.asarray(rng.integers(0, n_labels, (n,)), jnp.int32)
+    seg_xyz_l = tgt_xyz[:n_labels]
+    seg_valid_l = tgt_valid[:n_labels]
+    seg_pk_l = seg_pk_full[:n_labels]
+
+    def crop_label(sxyz, kk=k):
+        eps = (jnp.sum(sxyz) * 1e-30).astype(jnp.float32)
+        sxl = seg_xyz_l + eps
+        segc = jnp.mean(sxl, axis=1)
+        cidx_l = crop_targets(sxl, seg_valid_l, segc, kk)
+        return jnp.take_along_axis(
+            seg_pk_l + eps, cidx_l[..., None], axis=1)[lab]
+
+    block("crop label-share (k=256)", crop_label, src_xyz)
+    block("crop label-share (k=128)", crop_label, src_xyz, kk=128)
+
+    # Precomputed frame-invariant crop (ObservedScene.seg_pk_crop): the
+    # per-batch prologue is ONLY the [labels] row gather.
+    seg_ck = jax.block_until_ready(crop_label(src_xyz))[
+        :n_labels]                                       # [L, k, 8]
+
+    def crop_label_precomp(sxyz):
+        eps = (jnp.sum(sxyz) * 1e-30).astype(jnp.float32)
+        return (seg_ck + eps)[lab]
+
+    block("crop label precomp gather", crop_label_precomp, src_xyz)
+
     tgt_pk = jax.block_until_ready(crop_block(src_xyz))
 
     # --- kernel: iteration sweep (group=4, the shipped default) --------

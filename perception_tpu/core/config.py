@@ -203,6 +203,39 @@ class EnvConfig:
                                               # single-plane runaway at
                                               # small k; ops/icp.py
                                               # crop_targets)
+    icp_crop_share: str = "label"             # "label" (default since round
+                                              # 5): ONE ICP target crop per
+                                              # segment, centred on the
+                                              # segment's valid centroid —
+                                              # scene-only, so it hoists out
+                                              # of multi-batch loops and off
+                                              # the render->crop serial
+                                              # chain. (A per-frame
+                                              # precompute variant is priced
+                                              # negative: PT_CROP_PRECOMP
+                                              # in env.py.)
+                                              # "pose": reference-shaped crop
+                                              # around each hypothesis's
+                                              # transformed source centroid
+                                              # (N selections + an [N, k, 8]
+                                              # element gather, ~5.6 ms/2048
+                                              # EVERY batch, and a serial
+                                              # render->centers->crop->kernel
+                                              # chain). For segments with
+                                              # <= k valid targets the kept
+                                              # valid set is identical
+                                              # (test_pipeline); they differ
+                                              # only when a segment has > k
+                                              # valid points AND a hypothesis
+                                              # sits far from the segment
+                                              # centroid. Evidence (round 5):
+                                              # paired 150-scene zoo delta
+                                              # -0.61 [-2.20, +0.96] neutral,
+                                              # @kinect -0.38 [-1.61, +0.92]
+                                              # neutral; single-frame probe
+                                              # 0.00 mm at k=256
+                                              # (crop_probe.py); bench
+                                              # 63.2k -> 105.2k poses/s.
     cost_crop_targets: int = 256              # cost-stage target prefix cap
                                               # (exact for segments with <=
                                               # cap valid points — segments

@@ -220,10 +220,41 @@ class PerceptionEnv:
         map_normals[sel] = whole_normals[valid_pts]
         from perception_tpu.ops.color import rgb_to_lab
 
+        # Frame-invariant ICP target crop (icp_crop_share="label"): one
+        # selection per segment, packed once — every scoring batch of this
+        # frame reuses it (scorer.py ObservedScene.seg_pk_crop).
+        seg_pk_crop = None
+        k_crop = int(env.icp_crop_targets or 0)
+        # PT_CROP_PRECOMP=1: host-side A/B knob — precompute the label
+        # crop once per frame (ObservedScene.seg_pk_crop) instead of the
+        # scorer's inline branch. Priced a quantified NEGATIVE on-chip
+        # (round 5, paired, same semantics): feeding the cropped pack as
+        # a jit INPUT measures 73.3k poses/s where the in-graph inline
+        # crop measures 105.3k — XLA schedules the in-graph producer far
+        # better than the equivalent input-fed gather (both reproduced
+        # twice). Default stays inline.
+        precomp = os.environ.get("PT_CROP_PRECOMP", "0") == "1"
+        if (precomp and env.icp_crop_share == "label" and 0 < k_crop
+                and k_crop < observed.seg_xyz.shape[1]):
+            from perception_tpu.ops.icp import crop_targets
+            from perception_tpu.ops.pallas_icp import pack_targets
+
+            seg_pk = pack_targets(observed.seg_xyz, observed.seg_valid,
+                                  seg_normals)
+            segc = (jnp.sum(observed.seg_xyz
+                            * observed.seg_valid[..., None], axis=1)
+                    / jnp.maximum(
+                        observed.seg_valid.sum(axis=1), 1)[:, None])
+            cidx_l = crop_targets(observed.seg_xyz, observed.seg_valid,
+                                  segc, k_crop, mode=env.icp_crop_mode)
+            seg_pk_crop = jnp.take_along_axis(
+                seg_pk, cidx_l[..., None], axis=1)
+
         scene = ObservedScene(
             seg_xyz=observed.seg_xyz, seg_rgb=observed.seg_rgb,
             seg_lab=jnp.asarray(rgb_to_lab(observed.seg_rgb)),
             seg_valid=observed.seg_valid, seg_normals=seg_normals,
+            seg_pk_crop=seg_pk_crop,
             map_xyz=jnp.asarray(map_xyz),
             map_normals=jnp.asarray(map_normals),
             map_valid=jnp.asarray(map_valid),
@@ -481,6 +512,7 @@ class PerceptionEnv:
             icp_d2d_symmetric=env.icp_d2d_symmetric,
             icp_nn_every=env.icp_nn_every,
             icp_assoc_trigger=env.icp_assoc_trigger,
+            icp_crop_share=env.icp_crop_share,
             icp_gather=env.icp_gather,
             icp_exact_nn_every=env.icp_exact_nn_every,
             icp_stagnation_streak=_resolve_streak_env(

@@ -61,6 +61,17 @@ class ObservedScene(NamedTuple):
     map_label: jax.Array     # [Npix] int32 0-based (-1 invalid)
     source_depth: jax.Array  # [h_s, w_s] int32 render units
     source_label: jax.Array  # [h_s, w_s] int32 1-based
+    seg_pk_crop: jax.Array | None = None
+                             # [L, k, 8] pre-cropped packed ICP target rows
+                             # (icp_crop_share="label", opt-in
+                             # PT_CROP_PRECOMP=1): built once per frame by
+                             # PerceptionEnv._build_scene. Priced a
+                             # quantified NEGATIVE on-chip — the input-fed
+                             # pack measures 73.3k poses/s where the
+                             # semantically identical IN-GRAPH crop
+                             # measures 105.3k (each reproduced twice;
+                             # see env.py and ARCHITECTURE) — so the
+                             # default is None = crop inline.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,6 +125,11 @@ class ScorerConfig:
     icp_assoc_trigger: float = 0.004  # adaptive association trigger (m of
                                   # max point motion since last sweep);
                                   # only read when icp_nn_every == 0
+    icp_crop_share: str = "label"  # "label" (default since round 5: one
+                                  # crop per segment, frame-invariant —
+                                  # see EnvConfig.icp_crop_share for the
+                                  # paired evidence) | "pose"
+                                  # (per-hypothesis crop)
     icp_gather: str = "take"      # cropped packed-target gather: "take"
                                   # (generic gather, 6.25 ms/2048) |
                                   # "onehot" (bit-exact MXU one-hot, 6.57
@@ -391,6 +407,30 @@ def score_pose_batch(
                                   scene.seg_normals)
             if k >= tgt_xyz.shape[1]:
                 tgt_pk = seg_pk[labels]
+            elif (cfg.icp_crop_share == "label"
+                    and scene.seg_pk_crop is not None
+                    and scene.seg_pk_crop.shape[1] == k):
+                # Frame-invariant crop, built once per observation by
+                # PerceptionEnv._build_scene: the per-batch prologue is
+                # just this row gather.
+                tgt_pk = scene.seg_pk_crop[labels]
+            elif cfg.icp_crop_share == "label":
+                # One crop per SEGMENT, centred on the segment's own valid
+                # centroid: the selection work and the element-level gather
+                # collapse from N poses to L labels, leaving only a
+                # contiguous row gather (the same class the k >= S path
+                # ships). Selection differs from per-pose crops only for
+                # segments with > k valid targets AND hypotheses far from
+                # the segment centroid (candidate generation seeds at the
+                # segment, so bench-shape crops are near-identical).
+                segc = (jnp.sum(scene.seg_xyz
+                                * scene.seg_valid[..., None], axis=1)
+                        / jnp.maximum(
+                            scene.seg_valid.sum(axis=1), 1)[:, None])
+                cidx_l = crop_targets(scene.seg_xyz, scene.seg_valid,
+                                      segc, k, mode=cfg.icp_crop_mode)
+                tgt_pk = jnp.take_along_axis(
+                    seg_pk, cidx_l[..., None], axis=1)[labels]
             else:
                 centers = (jnp.sum(src_xyz * src_valid[..., None], axis=1)
                            / jnp.maximum(src_valid.sum(axis=1), 1)[:, None])

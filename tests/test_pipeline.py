@@ -130,6 +130,44 @@ def test_icp_pulls_offset_candidate_to_gt(observed_env):
     assert scored[0].cost <= raw[0].cost
 
 
+def test_icp_crop_share_label_matches_pose_when_segment_fits(monkeypatch):
+    """icp_crop_share="label" (one crop per segment, centred on the
+    segment centroid) must refine identically to the per-pose crop when
+    every segment has <= k valid targets: both selections then keep ALL
+    valid targets (invalid sort last), the kernel's NN argmin is
+    selection-order independent for distinct minima, and the GN sums run
+    over the unchanged source-point order. The opt-in per-frame
+    precompute (PT_CROP_PRECOMP=1 -> ObservedScene.seg_pk_crop) is the
+    same selection maths once more and must also match."""
+    import dataclasses
+
+    gt = gt_states()
+    adj = {}
+    for share in ("pose", "label", "label_precomp"):
+        monkeypatch.setenv("PT_CROP_PRECOMP",
+                           "1" if share == "label_precomp" else "0")
+        env = make_env()
+        env.env = dataclasses.replace(
+            env.env, icp_crop_targets=512,
+            icp_crop_share=share.split("_")[0])
+        env.set_observation_from_states(gt)
+        counts = np.asarray(env._observed.seg_count)
+        assert counts.max() <= 512, f"scene outgrew the crop ({counts})"
+        assert env._observed.seg_xyz.shape[1] > 512, "crop branch not hit"
+        off = ContPose.from_quat(gt[0].pose.x + 0.015, gt[0].pose.y - 0.012,
+                                 gt[0].pose.z + 0.008, 0, 0, 0, 1)
+        cand = ObjectState(id=0, symmetric=False, pose=off,
+                           segmentation_label_id=1)
+        if share == "label_precomp":
+            assert env._scene.seg_pk_crop is not None, "precompute not built"
+        scored = env.score_object_states([cand], do_icp=True)
+        a = env.camera_to_world_pose(scored[0].adjusted_pose_cam, 0)
+        adj[share] = np.array([a.x, a.y, a.z, *a.quaternion()])
+    np.testing.assert_allclose(adj["pose"], adj["label"], atol=1e-6)
+    np.testing.assert_allclose(adj["label"], adj["label_precomp"],
+                               atol=1e-6)
+
+
 def test_icp_model_source_converges():
     """Render-free ICP source (icp_source=model): surface samples + facing
     mask refine an offset pose to the same sub-cm floor as the rendered
