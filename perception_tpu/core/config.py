@@ -375,26 +375,40 @@ class EnvConfig:
                                               # per-iteration, the
                                               # icp_gicp_batch reference
                                               # semantics the +3.21@kinect
-                                              # evidence was measured at;
-                                              # >1 amortises the [S, P]
-                                              # sweep — the named cost of
-                                              # the exact mode's 2x scene
-                                              # latency — pending ladder
-                                              # pricing @kinect)
+                                              # evidence was measured at).
+                                              # Priced round 5 at 150
+                                              # paired scenes @kinect:
+                                              # nn2 saves 17% scene time
+                                              # (0.81 -> 0.67 s) but its
+                                              # point delta vs nn1 is
+                                              # -1.18 [-2.82, +0.52] —
+                                              # fails the > -1 bar, so 1
+                                              # stays (ladder rung
+                                              # d2dexact_nn2@kinect)
     icp_d2d_symmetric: bool = False           # fused_d2d: include the
                                               # source-covariance plane
                                               # term (pallas_icp sym
-                                              # mode). Measured OFF: the
-                                              # probe gains did not
-                                              # transfer (zoo@kinect
-                                              # 68.98 vs 68.29 target-
-                                              # only, noise-free 69.8 vs
-                                              # 70.3) and the k-NN source
-                                              # normals cost 6x at the
-                                              # bench batch; with
-                                              # icp_source=model the
-                                              # normals are free and the
-                                              # term is worth re-testing
+                                              # mode). With render-source
+                                              # k-NN normals: gains did
+                                              # not transfer and the
+                                              # normals cost 6x (round 4).
+                                              # Re-tested round 5 with
+                                              # icp_source=model (free
+                                              # exact bank normals):
+                                              # sym+model is +1.20
+                                              # [-0.36, +2.77] over
+                                              # model-source non-sym and
+                                              # +1.29 [-0.92, +3.66] over
+                                              # default @kinect at THE
+                                              # SAME 0.44 s/scene — but
+                                              # fused_d2d_exact is still
+                                              # +1.92 [-0.21, +4.05] over
+                                              # it, so noisy_profile()
+                                              # keeps exact; sym+model is
+                                              # the documented option when
+                                              # noisy robustness must come
+                                              # at default latency
+                                              # (d2d_model_sym@kinect)
     icp_gicp_epsilon: float = 0.05            # GICP plane-covariance floor
                                               # (fast_gicp uses 1e-3 with
                                               # k=20 covariances; with this
